@@ -1,0 +1,323 @@
+"""Pipeline configuration mirroring the reference CLI.
+
+Every field name/default matches a flag declared in the reference driver
+(applications/surfel_meshing/src/surfel_meshing/main.cc:276-608); the README
+documents them (reference README.md:180-267).  One known doc/code mismatch is
+preserved consciously: --observation_angle_threshold_deg defaults to 85 in code
+(main.cc:425) although the reference README says 75.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from typing import Optional
+
+
+_INT_MAX = 2**31 - 1
+
+
+@dataclasses.dataclass
+class SurfelMeshingConfig:
+    # --- Dataset playback parameters (main.cc:278-315) ---
+    depth_scaling: float = 5000.0          # TUM RGB-D: depth_png = 5000 * meters
+    max_pose_interpolation_time_extent: float = 0.05
+    start_frame: int = 0
+    end_frame: int = _INT_MAX
+    pyramid_level: int = 0
+    restrict_fps_to: int = 30
+    step_by_step_playback: bool = False
+    invert_quaternions: bool = False
+
+    # --- Surfel reconstruction parameters (main.cc:317-371) ---
+    max_surfel_count: int = 20_000_000
+    sensor_noise_factor: float = 0.05
+    max_surfel_confidence: float = 5.0
+    regularizer_weight: float = 10.0
+    normal_compatibility_threshold_deg: float = 40.0
+    regularization_frame_window_size: int = 30
+    do_blending: bool = True               # inverse of --disable_blending
+    measurement_blending_radius: int = 12
+    regularization_iterations_per_integration_iteration: int = 1
+    radius_factor_for_regularization_neighbors: float = 2.0
+    surfel_integration_active_window_size: int = _INT_MAX
+
+    # --- Meshing parameters (main.cc:373-412) ---
+    max_angle_between_normals_deg: float = 90.0
+    min_triangle_angle_deg: float = 10.0
+    max_triangle_angle_deg: float = 170.0
+    max_neighbor_search_range_increase_factor: float = 2.0
+    long_edge_tolerance_factor: float = 1.5
+    asynchronous_triangulation: bool = True  # inverse of --synchronous_meshing
+    full_meshing_every_frame: bool = False
+    full_retriangulation_at_end: bool = False
+
+    # --- Depth preprocessing parameters (main.cc:414-478) ---
+    max_depth: float = 3.0
+    depth_valid_region_radius: float = 333.0
+    observation_angle_threshold_deg: float = 85.0
+    depth_erosion_radius: int = 2
+    median_filter_and_densify_iterations: int = 0
+    outlier_filtering_frame_count: int = 8
+    outlier_filtering_required_inliers: int = -1
+    bilateral_filter_sigma_xy: float = 3.0
+    bilateral_filter_radius_factor: float = 2.0
+    bilateral_filter_sigma_depth_factor: float = 0.05
+    outlier_filtering_depth_tolerance_factor: float = 0.02
+    point_radius_extension_factor: float = 1.5
+    point_radius_clamp_factor: float = math.inf
+
+    # --- Octree / neighbor-search parameters (main.cc:480-484) ---
+    max_surfels_per_node: int = 50
+
+    # --- File export parameters (main.cc:486-495) ---
+    export_mesh: Optional[str] = None
+    export_point_cloud: Optional[str] = None
+
+    # --- Visualization parameters (main.cc:497-555) ---
+    render_camera_frustum: bool = True     # inverse of --hide_camera_frustum
+    render_new_surfels_as_splats: bool = True  # inverse of --hide_new_surfel_splats
+    splat_half_extent_in_pixels: float = 3.0
+    triangle_normal_shading: bool = False
+    show_input_images: bool = True         # inverse of --hide_input_images
+    render_window_default_width: int = 1280
+    render_window_default_height: int = 720
+    show_result: bool = True               # inverse of --exit_after_processing
+    follow_input_camera: Optional[bool] = None
+    record_keyframes: Optional[str] = None
+    playback_keyframes: Optional[str] = None
+
+    # --- Debug / evaluation parameters (main.cc:557-593) ---
+    create_video: bool = False
+    debug_depth_preprocessing: bool = False
+    debug_neighbor_rendering: bool = False
+    debug_normal_rendering: bool = False
+    visualize_last_update_timestamp: bool = False
+    visualize_creation_timestamp: bool = False
+    visualize_radii: bool = False
+    visualize_surfel_normals: bool = False
+    log_timings: Optional[str] = None
+
+    # --- Required input paths (main.cc:595-604) ---
+    dataset_folder_path: Optional[str] = None
+    trajectory_filename: Optional[str] = None
+
+    def validate(self) -> None:
+        if self.outlier_filtering_frame_count not in (2, 4, 6, 8):
+            raise ValueError(
+                "outlier_filtering_frame_count must be one of 2, 4, 6, 8 "
+                f"(got {self.outlier_filtering_frame_count})")
+        if not 0 <= self.depth_erosion_radius <= 3:
+            raise ValueError("depth_erosion_radius must be in [0, 3]")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI with the same flag names as the reference (main.cc:276-608)."""
+    d = SurfelMeshingConfig()
+    p = argparse.ArgumentParser(
+        prog="surfelmeshing_tpu",
+        description="TPU-native SurfelMeshing: surfel fusion + incremental "
+                    "meshing of TUM RGB-D video.")
+
+    # Dataset playback.
+    p.add_argument("--depth_scaling", type=float, default=d.depth_scaling)
+    p.add_argument("--max_pose_interpolation_time_extent", type=float,
+                   default=d.max_pose_interpolation_time_extent)
+    p.add_argument("--start_frame", type=int, default=d.start_frame)
+    p.add_argument("--end_frame", type=int, default=d.end_frame)
+    p.add_argument("--pyramid_level", type=int, default=d.pyramid_level)
+    p.add_argument("--restrict_fps_to", type=int, default=d.restrict_fps_to)
+    p.add_argument("--step_by_step_playback", action="store_true")
+    p.add_argument("--invert_quaternions", action="store_true")
+
+    # Surfel reconstruction.
+    p.add_argument("--max_surfel_count", type=int, default=d.max_surfel_count)
+    p.add_argument("--sensor_noise_factor", type=float, default=d.sensor_noise_factor)
+    p.add_argument("--max_surfel_confidence", type=float, default=d.max_surfel_confidence)
+    p.add_argument("--regularizer_weight", type=float, default=d.regularizer_weight)
+    p.add_argument("--normal_compatibility_threshold_deg", type=float,
+                   default=d.normal_compatibility_threshold_deg)
+    p.add_argument("--regularization_frame_window_size", type=int,
+                   default=d.regularization_frame_window_size)
+    p.add_argument("--disable_blending", action="store_true")
+    p.add_argument("--measurement_blending_radius", type=int,
+                   default=d.measurement_blending_radius)
+    p.add_argument("--regularization_iterations_per_integration_iteration",
+                   type=int,
+                   default=d.regularization_iterations_per_integration_iteration)
+    p.add_argument("--radius_factor_for_regularization_neighbors", type=float,
+                   default=d.radius_factor_for_regularization_neighbors)
+    p.add_argument("--surfel_integration_active_window_size", type=int,
+                   default=d.surfel_integration_active_window_size)
+
+    # Meshing.
+    p.add_argument("--max_angle_between_normals_deg", type=float,
+                   default=d.max_angle_between_normals_deg)
+    p.add_argument("--min_triangle_angle_deg", type=float,
+                   default=d.min_triangle_angle_deg)
+    p.add_argument("--max_triangle_angle_deg", type=float,
+                   default=d.max_triangle_angle_deg)
+    p.add_argument("--max_neighbor_search_range_increase_factor", type=float,
+                   default=d.max_neighbor_search_range_increase_factor)
+    p.add_argument("--long_edge_tolerance_factor", type=float,
+                   default=d.long_edge_tolerance_factor)
+    p.add_argument("--synchronous_meshing", action="store_true")
+    p.add_argument("--full_meshing_every_frame", action="store_true")
+    p.add_argument("--full_retriangulation_at_end", action="store_true")
+
+    # Depth preprocessing.
+    p.add_argument("--max_depth", type=float, default=d.max_depth)
+    p.add_argument("--depth_valid_region_radius", type=float,
+                   default=d.depth_valid_region_radius)
+    p.add_argument("--observation_angle_threshold_deg", type=float,
+                   default=d.observation_angle_threshold_deg)
+    p.add_argument("--depth_erosion_radius", type=int, default=d.depth_erosion_radius)
+    p.add_argument("--median_filter_and_densify_iterations", type=int,
+                   default=d.median_filter_and_densify_iterations)
+    p.add_argument("--outlier_filtering_frame_count", type=int,
+                   default=d.outlier_filtering_frame_count)
+    p.add_argument("--outlier_filtering_required_inliers", type=int,
+                   default=d.outlier_filtering_required_inliers)
+    p.add_argument("--bilateral_filter_sigma_xy", type=float,
+                   default=d.bilateral_filter_sigma_xy)
+    p.add_argument("--bilateral_filter_radius_factor", type=float,
+                   default=d.bilateral_filter_radius_factor)
+    p.add_argument("--bilateral_filter_sigma_depth_factor", type=float,
+                   default=d.bilateral_filter_sigma_depth_factor)
+    p.add_argument("--outlier_filtering_depth_tolerance_factor", type=float,
+                   default=d.outlier_filtering_depth_tolerance_factor)
+    p.add_argument("--point_radius_extension_factor", type=float,
+                   default=d.point_radius_extension_factor)
+    p.add_argument("--point_radius_clamp_factor", type=float,
+                   default=d.point_radius_clamp_factor)
+
+    # Octree.
+    p.add_argument("--max_surfels_per_node", type=int, default=d.max_surfels_per_node)
+
+    # File export.
+    p.add_argument("--export_mesh", type=str, default=None)
+    p.add_argument("--export_point_cloud", type=str, default=None)
+
+    # Visualization.
+    p.add_argument("--hide_camera_frustum", action="store_true")
+    p.add_argument("--hide_new_surfel_splats", action="store_true")
+    p.add_argument("--splat_half_extent_in_pixels", type=float,
+                   default=d.splat_half_extent_in_pixels)
+    p.add_argument("--triangle_normal_shading", action="store_true")
+    p.add_argument("--hide_input_images", action="store_true")
+    p.add_argument("--render_window_default_width", type=int,
+                   default=d.render_window_default_width)
+    p.add_argument("--render_window_default_height", type=int,
+                   default=d.render_window_default_height)
+    p.add_argument("--exit_after_processing", action="store_true")
+    p.add_argument("--follow_input_camera", type=str, default="")
+    p.add_argument("--record_keyframes", type=str, default=None)
+    p.add_argument("--playback_keyframes", type=str, default=None)
+
+    # Debug / evaluation.
+    p.add_argument("--create_video", action="store_true")
+    p.add_argument("--debug_depth_preprocessing", action="store_true")
+    p.add_argument("--debug_neighbor_rendering", action="store_true")
+    p.add_argument("--debug_normal_rendering", action="store_true")
+    p.add_argument("--visualize_last_update_timestamp", action="store_true")
+    p.add_argument("--visualize_creation_timestamp", action="store_true")
+    p.add_argument("--visualize_radii", action="store_true")
+    p.add_argument("--visualize_surfel_normals", action="store_true")
+    p.add_argument("--log_timings", type=str, default=None)
+
+    # Required input paths (sequential parameters in the reference).
+    p.add_argument("dataset_folder_path", type=str, nargs="?")
+    p.add_argument("trajectory_filename", type=str, nargs="?")
+    return p
+
+
+def config_from_args(argv=None) -> SurfelMeshingConfig:
+    args = build_arg_parser().parse_args(argv)
+
+    follow_input_camera: Optional[bool]
+    if args.follow_input_camera == "true":
+        follow_input_camera = True
+    elif args.follow_input_camera == "false":
+        follow_input_camera = False
+    elif args.follow_input_camera == "":
+        # Reference default: follow unless step-by-step playback (main.cc:533).
+        follow_input_camera = not args.step_by_step_playback
+    else:
+        raise SystemExit(
+            f"Unknown value for --follow_input_camera: {args.follow_input_camera}")
+
+    cfg = SurfelMeshingConfig(
+        depth_scaling=args.depth_scaling,
+        max_pose_interpolation_time_extent=args.max_pose_interpolation_time_extent,
+        start_frame=args.start_frame,
+        end_frame=args.end_frame,
+        pyramid_level=args.pyramid_level,
+        restrict_fps_to=args.restrict_fps_to,
+        step_by_step_playback=args.step_by_step_playback,
+        invert_quaternions=args.invert_quaternions,
+        max_surfel_count=args.max_surfel_count,
+        sensor_noise_factor=args.sensor_noise_factor,
+        max_surfel_confidence=args.max_surfel_confidence,
+        regularizer_weight=args.regularizer_weight,
+        normal_compatibility_threshold_deg=args.normal_compatibility_threshold_deg,
+        regularization_frame_window_size=args.regularization_frame_window_size,
+        do_blending=not args.disable_blending,
+        measurement_blending_radius=args.measurement_blending_radius,
+        regularization_iterations_per_integration_iteration=(
+            args.regularization_iterations_per_integration_iteration),
+        radius_factor_for_regularization_neighbors=(
+            args.radius_factor_for_regularization_neighbors),
+        surfel_integration_active_window_size=(
+            args.surfel_integration_active_window_size),
+        max_angle_between_normals_deg=args.max_angle_between_normals_deg,
+        min_triangle_angle_deg=args.min_triangle_angle_deg,
+        max_triangle_angle_deg=args.max_triangle_angle_deg,
+        max_neighbor_search_range_increase_factor=(
+            args.max_neighbor_search_range_increase_factor),
+        long_edge_tolerance_factor=args.long_edge_tolerance_factor,
+        asynchronous_triangulation=not args.synchronous_meshing,
+        full_meshing_every_frame=args.full_meshing_every_frame,
+        full_retriangulation_at_end=args.full_retriangulation_at_end,
+        max_depth=args.max_depth,
+        depth_valid_region_radius=args.depth_valid_region_radius,
+        observation_angle_threshold_deg=args.observation_angle_threshold_deg,
+        depth_erosion_radius=args.depth_erosion_radius,
+        median_filter_and_densify_iterations=args.median_filter_and_densify_iterations,
+        outlier_filtering_frame_count=args.outlier_filtering_frame_count,
+        outlier_filtering_required_inliers=args.outlier_filtering_required_inliers,
+        bilateral_filter_sigma_xy=args.bilateral_filter_sigma_xy,
+        bilateral_filter_radius_factor=args.bilateral_filter_radius_factor,
+        bilateral_filter_sigma_depth_factor=args.bilateral_filter_sigma_depth_factor,
+        outlier_filtering_depth_tolerance_factor=(
+            args.outlier_filtering_depth_tolerance_factor),
+        point_radius_extension_factor=args.point_radius_extension_factor,
+        point_radius_clamp_factor=args.point_radius_clamp_factor,
+        max_surfels_per_node=args.max_surfels_per_node,
+        export_mesh=args.export_mesh,
+        export_point_cloud=args.export_point_cloud,
+        render_camera_frustum=not args.hide_camera_frustum,
+        render_new_surfels_as_splats=not args.hide_new_surfel_splats,
+        splat_half_extent_in_pixels=args.splat_half_extent_in_pixels,
+        triangle_normal_shading=args.triangle_normal_shading,
+        show_input_images=not args.hide_input_images,
+        render_window_default_width=args.render_window_default_width,
+        render_window_default_height=args.render_window_default_height,
+        show_result=not args.exit_after_processing,
+        follow_input_camera=follow_input_camera,
+        record_keyframes=args.record_keyframes,
+        playback_keyframes=args.playback_keyframes,
+        create_video=args.create_video,
+        debug_depth_preprocessing=args.debug_depth_preprocessing,
+        debug_neighbor_rendering=args.debug_neighbor_rendering,
+        debug_normal_rendering=args.debug_normal_rendering,
+        visualize_last_update_timestamp=args.visualize_last_update_timestamp,
+        visualize_creation_timestamp=args.visualize_creation_timestamp,
+        visualize_radii=args.visualize_radii,
+        visualize_surfel_normals=args.visualize_surfel_normals,
+        log_timings=args.log_timings,
+        dataset_folder_path=args.dataset_folder_path,
+        trajectory_filename=args.trajectory_filename,
+    )
+    cfg.validate()
+    return cfg

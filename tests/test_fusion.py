@@ -1,0 +1,260 @@
+"""Tests for the surfel fusion engine (ops/fusion.py) against the behavioral
+contract of CUDASurfelReconstruction::Integrate."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
+from surfelmeshing_tpu.ops import preprocess as pp
+from surfelmeshing_tpu.ops.fusion import (FusionParams, INVALID_INDEX,
+                                          SurfelState, create_surfel_state,
+                                          export_vertices, integrate_frame,
+                                          meshing_snapshot)
+
+H, W = 24, 32
+FX = FY = 30.0
+CX, CY = W / 2 + 0.5, H / 2 + 0.5
+SCALE = 5000.0
+
+PARAMS = FusionParams(
+    width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY, depth_scaling=SCALE,
+    do_blending=False, regularization_iterations=1)
+
+IDENT = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]], np.float32)
+
+
+def flat_wall_inputs(depth_m=2.0, cap=4096):
+    """A fronto-parallel wall with valid geometry on the full interior."""
+    depth = np.full((H, W), int(SCALE * depth_m + 0.5), np.uint16)
+    normals = np.zeros((H, W, 2), np.float32)  # normal (0, 0, -1)
+    # radius from pixel footprint: distance between adjacent unprojected
+    # pixels is depth/f; use a generous squared radius.
+    r = (depth_m / FX) * 1.5
+    radius = np.full((H, W), r * r, np.float32)
+    color = np.full((H, W, 3), 128, np.uint8)
+    return depth, normals, radius, color
+
+
+def run_frame(state, depth, normals, radius, color, frame_index,
+              T_gl=IDENT, T_lg=IDENT, params=PARAMS):
+    return integrate_frame(state, jnp.asarray(depth), jnp.asarray(normals),
+                           jnp.asarray(radius), jnp.asarray(color),
+                           jnp.asarray(T_gl), jnp.asarray(T_lg),
+                           jnp.int32(frame_index), params)
+
+
+class TestCreation:
+    def test_first_frame_creates_interior_surfels(self):
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0)
+        count = int(state.surfel_count)
+        # All interior pixels (1px border excluded) become surfels
+        # (kernels.cu:99-107).
+        assert count == (H - 2) * (W - 2)
+        pos = np.asarray(state.pos[:count])
+        assert np.allclose(pos[:, 2], 2.0, atol=1e-3)
+        assert np.all(np.asarray(state.confidence[:count]) == 1.0)
+        assert np.all(np.asarray(state.creation_stamp[:count]) == 0)
+        nrm = np.asarray(state.normal[:count])
+        assert np.allclose(nrm, [0, 0, -1], atol=1e-6)
+        col = np.asarray(state.color[:count])
+        assert np.all(col == 128)
+
+    def test_initial_neighbors_linked(self):
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0)
+        count = int(state.surfel_count)
+        nbrs = np.asarray(state.neighbors[:count])
+        # Interior-of-interior surfels have all 4 neighbors.
+        n_full = (nbrs != int(INVALID_INDEX)).all(axis=1).sum()
+        assert n_full >= (H - 4) * (W - 4)
+        # All neighbor links point to created surfels.
+        valid = nbrs[nbrs != int(INVALID_INDEX)]
+        assert valid.max() < count
+
+    def test_capacity_overflow_recorded(self):
+        state = create_surfel_state(100)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0)
+        assert int(state.surfel_count) == 100
+        assert int(state.overflow_count) == (H - 2) * (W - 2) - 100
+
+
+class TestSupportAndConfidence:
+    def test_second_frame_supports_no_duplicates(self):
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0)
+        c0 = int(state.surfel_count)
+        state = run_frame(state, depth, normals, radius, color, 1)
+        c1 = int(state.surfel_count)
+        # Existing surfels absorb the measurements; no duplicate explosion.
+        assert c1 <= c0 + 0.1 * c0
+        conf = np.asarray(state.confidence[:c0])
+        # Confidence-weighted integration bumped most surfels
+        # (kernels.cu:941-945).
+        assert (conf > 1.0).mean() > 0.8
+        stamps = np.asarray(state.last_update_stamp[:c0])
+        assert (stamps == 1).mean() > 0.8
+
+    def test_confidence_capped(self):
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        for i in range(12):
+            state = run_frame(state, depth, normals, radius, color, i)
+        conf = np.asarray(state.confidence[:int(state.surfel_count)])
+        assert conf.max() <= PARAMS.max_surfel_confidence + 1e-5
+
+
+class TestConflict:
+    def test_floating_surfel_loses_confidence_and_is_replaced(self):
+        # Surfel at 1m, wall measured at 2m: the surfel is in the conflict
+        # zone (first_depth < (1-noise)*meas) -> confidence decrement, then
+        # replacement once confidence hits zero (kernels.cu:772-868).
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs(depth_m=2.0)
+        state = run_frame(state, depth, normals, radius, color, 0)
+        count = int(state.surfel_count)
+
+        # Plant a floating surfel at 1m in front of the wall center.
+        tgt = count
+        pos = np.zeros(3, np.float32)
+        pos[2] = 1.0
+        state = state._replace(
+            pos=state.pos.at[tgt].set(pos),
+            smooth_pos=state.smooth_pos.at[tgt].set(pos),
+            normal=state.normal.at[tgt].set([0, 0, -1]),
+            confidence=state.confidence.at[tgt].set(2.0),
+            radius_sq=state.radius_sq.at[tgt].set(0.001),
+            creation_stamp=state.creation_stamp.at[tgt].set(0),
+            last_update_stamp=state.last_update_stamp.at[tgt].set(0),
+            surfel_count=jnp.int32(count + 1),
+        )
+        state = run_frame(state, depth, normals, radius, color, 1)
+        conf1 = float(state.confidence[tgt])
+        assert conf1 < 2.0  # decremented at least once
+        state = run_frame(state, depth, normals, radius, color, 2)
+        # After repeated conflicts the surfel is re-initialized onto the wall.
+        z = float(state.pos[tgt, 2])
+        assert z == pytest.approx(2.0, abs=1e-2)
+        assert float(state.confidence[tgt]) == 1.0
+
+
+class TestMerge:
+    def test_duplicate_surfel_merged(self):
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0)
+        count = int(state.surfel_count)
+
+        # Duplicate a surfel with nearly identical attributes at a slightly
+        # offset position -> merge tombstone (kernels.cu:1949-1991).
+        src = count // 2
+        tgt = count
+        p = np.asarray(state.pos[src]) + np.array([1e-5, 0, 0], np.float32)
+        state = state._replace(
+            pos=state.pos.at[tgt].set(p),
+            smooth_pos=state.smooth_pos.at[tgt].set(p),
+            normal=state.normal.at[tgt].set(state.normal[src]),
+            confidence=state.confidence.at[tgt].set(1.0),
+            radius_sq=state.radius_sq.at[tgt].set(state.radius_sq[src]),
+            creation_stamp=state.creation_stamp.at[tgt].set(0),
+            last_update_stamp=state.last_update_stamp.at[tgt].set(0),
+            surfel_count=jnp.int32(count + 1),
+        )
+        state = run_frame(state, depth, normals, radius, color, 1)
+        merged = (float(state.radius_sq[tgt]) < 0 or
+                  float(state.radius_sq[src]) < 0)
+        assert merged
+        assert int(state.merge_count) >= 1
+        # Merged surfel exports NaN position (kernels.cu:2420-2425).
+        positions, _ = export_vertices(state)
+        merged_idx = tgt if float(state.radius_sq[tgt]) < 0 else src
+        assert np.isnan(np.asarray(positions[merged_idx, 0]))
+
+
+class TestRegularization:
+    def test_smooth_positions_denoised(self):
+        rng = np.random.default_rng(0)
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        noisy = depth.astype(np.float64) * (
+            1.0 + 0.01 * rng.standard_normal(depth.shape))
+        depth_noisy = noisy.astype(np.uint16)
+        state = run_frame(state, depth_noisy, normals, radius, color, 0)
+        for i in range(1, 6):
+            state = run_frame(state, depth_noisy, normals, radius, color, i)
+        count = int(state.surfel_count)
+        raw_spread = np.std(np.asarray(state.pos[:count, 2]))
+        smooth_spread = np.std(np.asarray(state.smooth_pos[:count, 2]))
+        assert smooth_spread < raw_spread
+
+    def test_disable_denoising_copies_raw(self):
+        params = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=False,
+            regularization_iterations=0)
+        state = create_surfel_state(4096)
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 0,
+                          params=params)
+        count = int(state.surfel_count)
+        np.testing.assert_allclose(np.asarray(state.smooth_pos[:count]),
+                                   np.asarray(state.pos[:count]))
+
+
+class TestEndToEndFusion:
+    def test_synthetic_sequence_reconstructs_scene(self):
+        """Preprocess + fuse a synthetic sequence; check the cloud lies on
+        the scene geometry."""
+        seq = SyntheticRGBDSequence(num_frames=8, width=W, height=H)
+        cam = seq.camera
+        params = FusionParams(
+            width=W, height=H, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1)
+        state = create_surfel_state(32768)
+        k = 2  # outlier window of 2 frames
+        for i in range(1, seq.frame_count - 1):
+            depth, color = seq.depth_and_color(i)
+            others = np.stack([seq.depth_and_color(i - 1)[0],
+                               seq.depth_and_color(i + 1)[0]])
+            ref = seq.poses[i].scaled_translation(SCALE)
+            T = np.stack([
+                ((ref.inverse() *
+                  seq.poses[j].scaled_translation(SCALE)).inverse()
+                 .matrix3x4())
+                for j in (i - 1, i + 1)]).astype(np.float32)
+            d, normals, radius = pp.preprocess_frame(
+                depth, others, T,
+                sigma_xy=3.0, sigma_value_factor=0.05, radius_factor=2.0,
+                max_depth_u16=int(SCALE * 3.0),
+                depth_valid_region_radius=1000.0,
+                tolerance=0.02, required_inliers=None, erosion_radius=1,
+                observation_angle_threshold_deg=85.0, depth_scaling=SCALE,
+                point_radius_extension_factor=1.5,
+                point_radius_clamp_factor=np.inf,
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+            T_gl = seq.poses[i].matrix3x4().astype(np.float32)
+            T_lg = seq.poses[i].inverse().matrix3x4().astype(np.float32)
+            state = integrate_frame(
+                state, d, normals, radius, jnp.asarray(color),
+                jnp.asarray(T_gl), jnp.asarray(T_lg), jnp.int32(i), params)
+
+        count = int(state.surfel_count)
+        assert count > 100
+        smooth, radius_sq, normal, stamps, _ = meshing_snapshot(state)
+        pts = np.asarray(smooth[:count])
+        alive = np.asarray(radius_sq[:count]) >= 0
+        pts = pts[alive]
+        # Scene distance: min over wall plane z=2.5, floor y=0.8, sphere.
+        d_wall = np.abs(pts[:, 2] - 2.5)
+        d_floor = np.abs(pts[:, 1] - 0.8)
+        d_sphere = np.abs(
+            np.linalg.norm(pts - np.array([0.0, 0.3, 1.8]), axis=1) - 0.35)
+        dist = np.minimum(np.minimum(d_wall, d_floor), d_sphere)
+        # Mean distance to the true surface well under 5 mm.
+        assert dist.mean() < 0.005

@@ -100,6 +100,9 @@ class FusionParams:
     regularization_iterations: int = 1
     radius_factor_for_regularization_neighbors: float = 2.0
     surfel_integration_active_window_size: int = 2**31 - 1
+    # Profiling aid: stop the compiled program after phase k (1=min-depth,
+    # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
+    debug_stop_after: int = 99
 
     @property
     def cos_normal_compat(self) -> float:
@@ -241,10 +244,19 @@ def integrate_frame(
     proj_b = proj_a & side_ok
     pix_b = _flat(params, sx, sy, proj_b)
 
+    def _dbg_return(*live):
+        # Keep `live` values observable so XLA cannot dead-code-eliminate the
+        # phases under test (used only with params.debug_stop_after).
+        probe = sum(jnp.sum(v[..., :1].astype(jnp.float32)) for v in live)
+        return state._replace(
+            merge_count=state.merge_count + probe.astype(jnp.int32))
+
     # --- Phase 1: RenderMinDepth (kernels.cu:1458-1557) -------------------
     first_depth = jnp.full((hw,), jnp.inf, jnp.float32)
     first_depth = first_depth.at[pix_a].min(z, mode="drop")
     first_depth = first_depth.at[pix_b].min(z, mode="drop")
+    if params.debug_stop_after <= 1:
+        return _dbg_return(first_depth)
 
     # --- Phase 2: Associate (kernels.cu:1586-1854) ------------------------
     depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
@@ -304,6 +316,9 @@ def integrate_frame(
         jnp.where(support_a, pix_a, INVALID_INDEX)].add(z, mode="drop")
     support_depth_sums = support_depth_sums.at[
         jnp.where(support_b, pix_b, INVALID_INDEX)].add(z, mode="drop")
+    if params.debug_stop_after <= 2:
+        return _dbg_return(first_depth, supporting_surfels, support_counts,
+                           support_depth_sums, conflicting_surfels)
 
     # --- Phase 3: Merge (kernels.cu:1857-2096) ----------------------------
     # Only the main pixel participates; a surfel tombstones itself when the
@@ -332,6 +347,10 @@ def integrate_frame(
     radius_sq = jnp.where(m_on, -1.0, state.radius_sq)
     detach = state.detach | m_on
     merge_count = state.merge_count + jnp.sum(m_on.astype(jnp.int32))
+    if params.debug_stop_after <= 3:
+        return _dbg_return(last_update_stamp, radius_sq, detach,
+                           supporting_surfels, conflicting_surfels,
+                           first_depth, support_counts, support_depth_sums)
 
     # --- Phase 4: Measurement blending (kernels.cu:563-738, .cc:148-205) --
     if params.do_blending:
@@ -346,6 +365,8 @@ def integrate_frame(
     points_global = _transform(global_T_local, points_local)
     normals_global = _rotate(global_T_local, normals_img)
     color_flat = color.reshape(hw, 3)
+    if params.debug_stop_after <= 4:
+        return _dbg_return(depth_m_flat, points_global, normals_global)
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
     attrs = dict(
@@ -447,6 +468,9 @@ def integrate_frame(
     creation_stamp = attrs["creation"]
     last_update_stamp = attrs["stamp"]
     neighbors = attrs["neighbors"]
+    if params.debug_stop_after <= 5:
+        return _dbg_return(pos, smooth_pos, normal, color_s, confidence,
+                           radius_sq, last_update_stamp, neighbors)
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
     neighbors = _update_neighbors(
@@ -454,6 +478,8 @@ def integrate_frame(
         pos, normal, radius_sq, detach,
         neighbors, depth_m_flat, radius_flat,
         supporting_surfels, local_T_global)
+    if params.debug_stop_after <= 6:
+        return _dbg_return(neighbors, pos, smooth_pos)
 
     # --- Phase 7: New surfel creation (kernels.cu:90-271, .cc:37-146) -----
     (pos, smooth_pos, normal, color_s, detach, confidence, radius_sq,
@@ -465,6 +491,10 @@ def integrate_frame(
         pos, smooth_pos, normal, color_s, detach, confidence, radius_sq,
         creation_stamp, last_update_stamp, neighbors,
         state.surfel_count, state.overflow_count, frame_index)
+    if params.debug_stop_after <= 7:
+        return _dbg_return(pos, smooth_pos, normal, color_s, confidence,
+                           radius_sq, neighbors,
+                           surfel_count[None], overflow_count[None])
 
     # --- Phase 8: Regularization (kernels.cu:2099-2410) -------------------
     if params.regularization_iterations == 0:

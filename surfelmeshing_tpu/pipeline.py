@@ -1,0 +1,237 @@
+"""Per-frame reconstruction pipeline driver.
+
+Plays the role of the reference's main loop (main.cc:885-1693): maintains the
+resident window of depth frames for outlier filtering, runs preprocessing +
+fusion on device, paces meshing snapshots, tracks per-stage timings, and
+exports results.  Host<->device transfer uses jax.device_put ahead of compute
+(the reference's dedicated upload stream + pagelocked staging,
+main.cc:759-763,902-984, collapses into JAX's async dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SurfelMeshingConfig
+from .io.tum import RGBDVideo
+from .ops import preprocess as pp
+from .ops.fusion import (FusionParams, SurfelState, create_surfel_state,
+                         export_vertices, integrate_frame, meshing_snapshot)
+from .utils.camera import PinholeCamera
+from .utils.se3 import SE3
+from .utils.timing import Timing, format_frame_timings_line
+
+
+@dataclasses.dataclass
+class FrameResult:
+    frame_index: int
+    surfel_count: int
+    merge_count: int
+
+
+class ReconstructionPipeline:
+    """Depth preprocessing + surfel fusion over an RGB-D stream."""
+
+    def __init__(self, config: SurfelMeshingConfig, camera: PinholeCamera,
+                 device=None):
+        config.validate()
+        self.config = config
+        self.camera = camera.pyramid_level(config.pyramid_level)
+        self.device = device or jax.devices()[0]
+        self.timing = Timing()
+        self.timings_log_lines = []
+
+        self.fusion_params = FusionParams(
+            width=self.camera.width,
+            height=self.camera.height,
+            fx=self.camera.fx, fy=self.camera.fy,
+            cx=self.camera.cx, cy=self.camera.cy,
+            depth_scaling=config.depth_scaling,
+            sensor_noise_factor=config.sensor_noise_factor,
+            max_surfel_confidence=config.max_surfel_confidence,
+            normal_compatibility_threshold_deg=(
+                config.normal_compatibility_threshold_deg),
+            regularizer_weight=config.regularizer_weight,
+            regularization_frame_window_size=(
+                config.regularization_frame_window_size),
+            do_blending=config.do_blending,
+            measurement_blending_radius=config.measurement_blending_radius,
+            regularization_iterations=(
+                config.regularization_iterations_per_integration_iteration),
+            radius_factor_for_regularization_neighbors=(
+                config.radius_factor_for_regularization_neighbors),
+            surfel_integration_active_window_size=(
+                config.surfel_integration_active_window_size),
+        )
+        self.state: SurfelState = jax.device_put(
+            create_surfel_state(config.max_surfel_count), self.device)
+
+        # Resident depth-frame window (ring buffer keyed by frame index),
+        # mirroring frame_index_to_depth_buffer (main.cc:904-968).
+        self._depth_buffers: Dict[int, jnp.ndarray] = {}
+
+    # -- frame window management -------------------------------------------
+
+    def _upload_depth(self, video, frame_index: int) -> None:
+        if frame_index in self._depth_buffers or \
+           frame_index >= video.frame_count:
+            return
+        depth = video.depth_frames[frame_index].get_image()
+        depth = np.asarray(depth).astype(np.uint16)
+        if self.config.median_filter_and_densify_iterations > 0:
+            d = jnp.asarray(depth)
+            for _ in range(self.config.median_filter_and_densify_iterations):
+                d = pp.median_filter_and_densify(d)
+            self._depth_buffers[frame_index] = jax.device_put(d, self.device)
+        else:
+            self._depth_buffers[frame_index] = jax.device_put(
+                depth, self.device)
+
+    def _retire_depth(self, frame_index: int) -> None:
+        """Frame retirement (main.cc:1656-1667)."""
+        self._depth_buffers.pop(frame_index, None)
+
+    # -- per-frame step -----------------------------------------------------
+
+    def process_frame(self, video: RGBDVideo, frame_index: int
+                      ) -> Optional[FrameResult]:
+        cfg = self.config
+        half_window = cfg.outlier_filtering_frame_count // 2
+
+        # Upload the window of depth frames + the current color frame.
+        for idx in range(frame_index,
+                         min(video.frame_count,
+                             frame_index + half_window + 2)):
+            self._upload_depth(video, idx)
+
+        # Skip frames lacking a full outlier window (main.cc:986-992).
+        if frame_index < cfg.start_frame + half_window or \
+           frame_index >= video.frame_count - half_window:
+            return None
+
+        with self.timing.timer("preprocessing"):
+            depth, normals, radius = self._preprocess(video, frame_index)
+
+        color = np.asarray(video.color_frames[frame_index].get_image())
+        if color.ndim == 2:
+            color = np.stack([color] * 3, axis=-1)
+        color = color[..., :3].astype(np.uint8)
+        if cfg.pyramid_level > 0:
+            step = 1 << cfg.pyramid_level
+            color = color[::step, ::step]
+
+        pose = video.depth_frames[frame_index].global_T_frame
+        T_gl = pose.matrix3x4().astype(np.float32)
+        T_lg = pose.inverse().matrix3x4().astype(np.float32)
+
+        with self.timing.timer("integration"):
+            self.state = integrate_frame(
+                self.state, depth, normals, radius, jnp.asarray(color),
+                jnp.asarray(T_gl), jnp.asarray(T_lg),
+                jnp.int32(frame_index), self.fusion_params)
+
+        # Retire the depth frame that just left the window.
+        self._retire_depth(frame_index - half_window)
+        video.color_frames[frame_index].clear_image()
+        video.depth_frames[frame_index].clear_image()
+
+        return FrameResult(frame_index=frame_index,
+                           surfel_count=-1,  # fetched lazily via surfel_count()
+                           merge_count=-1)
+
+    def _preprocess(self, video: RGBDVideo, frame_index: int):
+        cfg = self.config
+        cam = self.camera
+        half_window = cfg.outlier_filtering_frame_count // 2
+
+        depth = self._depth_buffers[frame_index]
+        if cfg.pyramid_level > 0:
+            step = 1 << cfg.pyramid_level
+            depth = depth[::step, ::step]
+
+        ref_pose_scaled = video.depth_frames[frame_index].global_T_frame \
+            .scaled_translation(cfg.depth_scaling)
+        others = []
+        transforms = []
+        for offset in list(range(-half_window, 0)) + \
+                list(range(1, half_window + 1)):
+            other_index = frame_index + offset
+            other = self._depth_buffers[other_index]
+            if cfg.pyramid_level > 0:
+                step = 1 << cfg.pyramid_level
+                other = other[::step, ::step]
+            others.append(other)
+            other_pose_scaled = video.depth_frames[other_index] \
+                .global_T_frame.scaled_translation(cfg.depth_scaling)
+            # other_T_reference in depth-unit space (main.cc:1038-1058).
+            transforms.append(
+                (ref_pose_scaled.inverse() * other_pose_scaled)
+                .inverse().matrix3x4())
+        others = jnp.stack(others)
+        T = jnp.asarray(np.stack(transforms).astype(np.float32))
+
+        required = cfg.outlier_filtering_required_inliers
+        if required == cfg.outlier_filtering_frame_count:
+            required = None
+        elif required == -1:
+            required = None
+
+        return pp.preprocess_frame(
+            depth, others, T,
+            sigma_xy=cfg.bilateral_filter_sigma_xy,
+            sigma_value_factor=cfg.bilateral_filter_sigma_depth_factor,
+            radius_factor=cfg.bilateral_filter_radius_factor,
+            max_depth_u16=int(cfg.depth_scaling * cfg.max_depth),
+            depth_valid_region_radius=cfg.depth_valid_region_radius,
+            tolerance=cfg.outlier_filtering_depth_tolerance_factor,
+            required_inliers=required,
+            erosion_radius=cfg.depth_erosion_radius,
+            observation_angle_threshold_deg=(
+                cfg.observation_angle_threshold_deg),
+            depth_scaling=cfg.depth_scaling,
+            point_radius_extension_factor=cfg.point_radius_extension_factor,
+            point_radius_clamp_factor=cfg.point_radius_clamp_factor,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+
+    # -- outputs ------------------------------------------------------------
+
+    def surfel_count(self) -> int:
+        return int(self.state.surfel_count)
+
+    def block_until_ready(self) -> None:
+        jax.block_until_ready(self.state)
+
+    def snapshot(self):
+        """SoA snapshot for the meshing engine (TransferAllToCPU analog)."""
+        smooth, radius_sq, normal, stamps, count = meshing_snapshot(self.state)
+        count = int(count)
+        return (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
+                np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
+
+    def export_point_cloud(self, path: str) -> int:
+        """Save the surfel cloud as PLY (SavePointCloudAsPLY, main.cc:179-203);
+        merged surfels (radius < 0) are skipped."""
+        from .io.mesh_io import write_ply
+        positions, colors = export_vertices(self.state)
+        count = self.surfel_count()
+        positions = np.asarray(positions[:count])
+        colors = np.asarray(colors[:count])
+        normals = np.asarray(self.state.normal[:count])
+        alive = ~np.isnan(positions[:, 0])
+        write_ply(path, positions[alive], colors[alive], normals[alive])
+        return int(alive.sum())
+
+    def log_frame_timings(self, frame_index: int) -> None:
+        stage_ms = {}
+        for stage in ("preprocessing", "integration"):
+            stats = self.timing.stats(stage)
+            if stats:
+                stage_ms[stage] = 1000.0 * stats.mean
+        self.timings_log_lines.append(
+            format_frame_timings_line(frame_index, stage_ms,
+                                      self.surfel_count()))

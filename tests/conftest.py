@@ -1,19 +1,23 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use
-xla_force_host_platform_device_count=8 on the CPU backend.
+xla_force_host_platform_device_count=8 on the CPU backend.  NOTE: this image
+pre-imports jax via a site hook with JAX_PLATFORMS=axon, so plain env-var
+setdefault is too late — use jax.config.update before any backend is created.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    " --xla_force_host_platform_device_count=8").strip()
 
 # Persistent compilation cache: the preprocessing stencils are compile-heavy;
 # cache compiled executables across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -54,7 +54,8 @@ def main():
     for i in range(NUM_FRAMES):
         d, c = seq.depth_and_color(i)
         depths.append(jax.device_put(jnp.asarray(d), device))
-        colors.append(jax.device_put(jnp.asarray(c), device))
+        colors.append(jax.device_put(
+            jnp.asarray(np.ascontiguousarray(c.transpose(2, 0, 1))), device))
 
     def transforms_for(i):
         ref = seq.poses[i].scaled_translation(SCALE)

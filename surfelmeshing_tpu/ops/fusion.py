@@ -13,10 +13,17 @@ Design (TPU-first, not a translation):
   (min / add), and per-surfel mutation is a *gather* — each surfel reads its
   own pixels, so no locks exist at all.
 - Nondeterministic outcomes in the reference (which surfel claims a pixel via
-  atomicCAS first) are made deterministic by min-index rule.
+  atomicCAS first) are made deterministic by a min-index rule.
 - The entire Integrate() phase sequence — RenderMinDepth, Associate, Merge,
   Blend, Integrate, UpdateNeighbors, CreateNewSurfels, Regularize — runs as a
   single XLA program with no host round-trips; surfel_count lives on device.
+
+Memory layout is **attribute-major**: vectors are stored as (3, N) / (4, N)
+arrays and all math is componentwise over (N,) slices.  On TPU the minor
+dimension is tiled to 128 lanes, so (N, 3) rows would waste ~42x HBM bandwidth
+on every gather/scatter; attribute-major gives perfectly tiled (N,) streams
+(the reference's surfel buffer is attribute-major for the same coalescing
+reason, kernels.cuh:39-41).
 
 Surfel attributes mirror kernels.cuh:49-78; u32-bit-cast stamps become plain
 int32 arrays, the color-alpha "neighbor detach request" flag becomes a bool
@@ -46,17 +53,17 @@ MERGE_COS_NORMAL_THRESHOLD = 0.93969         # 20 deg, kernels.cu:1981
 
 
 class SurfelState(NamedTuple):
-    """Fixed-capacity SoA surfel map; a pytree living in HBM."""
-    pos: jnp.ndarray            # (N, 3) f32 raw position
-    smooth_pos: jnp.ndarray     # (N, 3) f32 regularized position
-    normal: jnp.ndarray         # (N, 3) f32
-    color: jnp.ndarray          # (N, 3) u8
+    """Fixed-capacity attribute-major surfel map; a pytree living in HBM."""
+    pos: jnp.ndarray            # (3, N) f32 raw position
+    smooth_pos: jnp.ndarray     # (3, N) f32 regularized position
+    normal: jnp.ndarray         # (3, N) f32
+    color: jnp.ndarray          # (3, N) u8
     detach: jnp.ndarray         # (N,) bool: neighbor detach request flag
     confidence: jnp.ndarray     # (N,) f32
     radius_sq: jnp.ndarray      # (N,) f32 (-1 marks merged-away surfels)
     creation_stamp: jnp.ndarray  # (N,) i32
     last_update_stamp: jnp.ndarray  # (N,) i32
-    neighbors: jnp.ndarray      # (N, 4) i32, INVALID_INDEX = none
+    neighbors: jnp.ndarray      # (4, N) i32, INVALID_INDEX = none
     surfel_count: jnp.ndarray   # () i32
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
@@ -64,16 +71,16 @@ class SurfelState(NamedTuple):
 
 def create_surfel_state(capacity: int) -> SurfelState:
     return SurfelState(
-        pos=jnp.zeros((capacity, 3), jnp.float32),
-        smooth_pos=jnp.zeros((capacity, 3), jnp.float32),
-        normal=jnp.zeros((capacity, 3), jnp.float32),
-        color=jnp.zeros((capacity, 3), jnp.uint8),
+        pos=jnp.zeros((3, capacity), jnp.float32),
+        smooth_pos=jnp.zeros((3, capacity), jnp.float32),
+        normal=jnp.zeros((3, capacity), jnp.float32),
+        color=jnp.zeros((3, capacity), jnp.uint8),
         detach=jnp.zeros((capacity,), bool),
         confidence=jnp.zeros((capacity,), jnp.float32),
         radius_sq=jnp.zeros((capacity,), jnp.float32),
         creation_stamp=jnp.zeros((capacity,), jnp.int32),
         last_update_stamp=jnp.full((capacity,), -(2**30), jnp.int32),
-        neighbors=jnp.full((capacity, 4), INVALID_INDEX, jnp.int32),
+        neighbors=jnp.full((4, capacity), INVALID_INDEX, jnp.int32),
         surfel_count=jnp.zeros((), jnp.int32),
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
@@ -122,28 +129,60 @@ class FusionParams:
 
 
 # ---------------------------------------------------------------------------
-# Shared geometry helpers.
+# Componentwise vec3 helpers: a "vec" is a tuple of three (N,) arrays.
 # ---------------------------------------------------------------------------
 
-def _transform(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Apply (3,4) rigid transform rows to points (..., 3)."""
-    return p @ T[:, :3].T + T[:, 3]
+def _v(m: jnp.ndarray):
+    """(3, N) array -> tuple of 3 (N,) views."""
+    return (m[0], m[1], m[2])
 
 
-def _rotate(T: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    return v @ T[:, :3].T
+def _stack(v) -> jnp.ndarray:
+    return jnp.stack(v, axis=0)
 
 
-def _project(params: FusionParams, local: jnp.ndarray):
+def _transform(T: jnp.ndarray, v):
+    """Apply (3,4) rigid transform rows to a componentwise vec."""
+    x, y, z = v
+    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z + T[0, 3],
+            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z + T[1, 3],
+            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z + T[2, 3])
+
+
+def _rotate(T: jnp.ndarray, v):
+    x, y, z = v
+    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z,
+            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z,
+            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _gather(v, idx):
+    return (v[0][idx], v[1][idx], v[2][idx])
+
+
+def _where(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def _project(params: FusionParams, local):
     """Project camera-space points -> (u, v, px, py, in_image).
 
     Pixel int via C-style truncation; the reference also rejects
     pixel_pos < 0 before truncation (kernels.cu:1496-1500).
     """
-    z = local[..., 2]
+    x, y, z = local
     safe_z = jnp.where(z > 0, z, 1.0)
-    u = params.fx * (local[..., 0] / safe_z) + params.cx
-    v = params.fy * (local[..., 1] / safe_z) + params.cy
+    u = params.fx * (x / safe_z) + params.cx
+    v = params.fy * (y / safe_z) + params.cy
     px = u.astype(jnp.int32)
     py = v.astype(jnp.int32)
     in_image = (z > 0) & (u >= 0) & (v >= 0) & \
@@ -179,24 +218,25 @@ def _flat(params: FusionParams, px, py, valid):
     return jnp.where(valid, py * params.width + px, INVALID_INDEX)
 
 
-def _unproject_image(params: FusionParams, depth_m: jnp.ndarray):
-    """(H, W) meters -> (H, W, 3) camera-space points at pixel centers."""
-    h, w = depth_m.shape
+def _unproject_image_flat(params: FusionParams, depth_m_flat: jnp.ndarray):
+    """(HW,) meters -> componentwise camera-space points at pixel centers."""
+    hw = depth_m_flat.shape[0]
     fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    return jnp.stack([depth_m * (fx_inv * xs + cx_inv),
-                      depth_m * (fy_inv * ys + cy_inv),
-                      depth_m], axis=-1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)[:, 0]
+    xs = (lin % params.width).astype(jnp.float32)
+    ys = (lin // params.width).astype(jnp.float32)
+    return (depth_m_flat * (fx_inv * xs + cx_inv),
+            depth_m_flat * (fy_inv * ys + cy_inv),
+            depth_m_flat)
 
 
-def _normal_image(normals_xy: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 2) stored normal -> (H, W, 3) with z = -sqrt(1 - x^2 - y^2)
-    (kernels.cu:810-812)."""
-    nx = normals_xy[..., 0]
-    ny = normals_xy[..., 1]
+def _normal_flat(normals_xy: jnp.ndarray, hw: int):
+    """(2, H, W) stored normal -> componentwise (HW,) with
+    z = -sqrt(1 - x^2 - y^2) (kernels.cu:810-812)."""
+    nx = normals_xy[0].reshape(hw)
+    ny = normals_xy[1].reshape(hw)
     nz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - nx * nx - ny * ny))
-    return jnp.stack([nx, ny, nz], axis=-1)
+    return (nx, ny, nz)
 
 
 # ---------------------------------------------------------------------------
@@ -207,9 +247,9 @@ def _normal_image(normals_xy: jnp.ndarray) -> jnp.ndarray:
 def integrate_frame(
     state: SurfelState,
     depth: jnp.ndarray,          # (H, W) u16, preprocessed
-    normals_xy: jnp.ndarray,     # (H, W, 2) f32
+    normals_xy: jnp.ndarray,     # (2, H, W) f32
     radius_img: jnp.ndarray,     # (H, W) f32 squared radii
-    color: jnp.ndarray,          # (H, W, 3) u8
+    color: jnp.ndarray,          # (3, H, W) u8
     global_T_local: jnp.ndarray,  # (3, 4) f32
     local_T_global: jnp.ndarray,  # (3, 4) f32
     frame_index: jnp.ndarray,    # () i32
@@ -217,7 +257,7 @@ def integrate_frame(
 ) -> SurfelState:
     """One fusion step == CUDASurfelReconstruction::Integrate
     (cuda_surfel_reconstruction.cc:112-320)."""
-    n = state.pos.shape[0]
+    n = state.pos.shape[1]
     h, w = params.height, params.width
     hw = h * w
     noise = params.sensor_noise_factor
@@ -234,8 +274,9 @@ def integrate_frame(
                          frame_index - params.active_window)
 
     # Shared per-surfel projection of the *raw* position (kernels.cu:1481-1493).
-    local_pos = _transform(local_T_global, state.pos)
-    z = local_pos[..., 2]
+    pos_v = _v(state.pos)
+    local_pos = _transform(local_T_global, pos_v)
+    z = local_pos[2]
     u, v, px, py, in_image = _project(params, local_pos)
     sx, sy, side_ok = _side_pixel(params, u, v, px, py)
 
@@ -247,7 +288,8 @@ def integrate_frame(
     def _dbg_return(*live):
         # Keep `live` values observable so XLA cannot dead-code-eliminate the
         # phases under test (used only with params.debug_stop_after).
-        probe = sum(jnp.sum(v[..., :1].astype(jnp.float32)) for v in live)
+        probe = sum(jnp.sum(jnp.ravel(v)[:1].astype(jnp.float32))
+                    for v in live)
         return state._replace(
             merge_count=state.merge_count + probe.astype(jnp.int32))
 
@@ -260,20 +302,22 @@ def integrate_frame(
 
     # --- Phase 2: Associate (kernels.cu:1586-1854) ------------------------
     depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
-    normals_img = _normal_image(normals_xy).reshape(hw, 3)
+    normals_img = _normal_flat(normals_xy, hw)
     radius_flat = radius_img.reshape(hw)
 
-    local_normal = _rotate(local_T_global, state.normal)
-    surfel_dist = jnp.sqrt(jnp.sum(local_pos * local_pos, axis=-1))
-    facing_ok = (jnp.sum(local_pos * local_normal, axis=-1) /
+    normal_v = _v(state.normal)
+    local_normal = _rotate(local_T_global, normal_v)
+    surfel_dist = jnp.sqrt(_dot(local_pos, local_pos))
+    facing_ok = (_dot(local_pos, local_normal) /
                  jnp.maximum(surfel_dist, 1e-30)) <= \
         SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD
 
     def associate_checks(pix, on):
-        """Common per-candidate-pixel tests; returns dict of masks."""
-        meas = depth_m_flat[jnp.clip(pix, 0, hw - 1)]
+        """Common per-candidate-pixel tests; returns (on, conflicting, meas)."""
+        pixc = jnp.clip(pix, 0, hw - 1)
+        meas = depth_m_flat[pixc]
         on = on & (meas > 0)
-        first = first_depth[jnp.clip(pix, 0, hw - 1)]
+        first = first_depth[pixc]
         conflict_zone = first < (1.0 - noise) * meas
         is_conflicting = on & conflict_zone & (first == z)
         on = on & ~conflict_zone
@@ -282,9 +326,9 @@ def integrate_frame(
         on = on & facing_ok
         # Normal compatibility when the measurement is in front
         # (kernels.cu:1653-1668); the measurement normal is in camera space.
-        meas_normal = normals_img[jnp.clip(pix, 0, hw - 1)]
+        meas_normal = _gather(normals_img, pixc)
         compat_needed = meas < z
-        compat = jnp.sum(local_normal * meas_normal, axis=-1) >= cos_compat
+        compat = _dot(local_normal, meas_normal) >= cos_compat
         on = on & (~compat_needed | compat)
         return on, is_conflicting, meas
 
@@ -337,11 +381,13 @@ def integrate_frame(
                                                other_radius, 1e-30)
     m_on = m_on & (radius_ratio <= MERGE_RADIUS_DIFF_THRESHOLD_SQ) & \
         (radius_ratio >= 1.0 / MERGE_RADIUS_DIFF_THRESHOLD_SQ)
-    dist_sq = jnp.sum((state.pos - state.pos[sup_idx]) ** 2, axis=-1)
+    sup_pos = _gather(pos_v, sup_idx)
+    diff = _sub(pos_v, sup_pos)
+    dist_sq = _dot(diff, diff)
     m_on = m_on & (dist_sq <= MERGE_DISTANCE_FACTOR *
                    (state.radius_sq + other_radius))
-    m_on = m_on & (jnp.sum(state.normal * state.normal[sup_idx], axis=-1)
-                   >= MERGE_COS_NORMAL_THRESHOLD)
+    sup_normal = _gather(normal_v, sup_idx)
+    m_on = m_on & (_dot(normal_v, sup_normal) >= MERGE_COS_NORMAL_THRESHOLD)
 
     last_update_stamp = jnp.where(m_on, 0, state.last_update_stamp)
     radius_sq = jnp.where(m_on, -1.0, state.radius_sq)
@@ -360,19 +406,19 @@ def integrate_frame(
         depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
 
     # Camera-space measurement data (post-blending).
-    depth_m_img = depth.astype(jnp.float32) * inv_scale
-    points_local = _unproject_image(params, depth_m_img).reshape(hw, 3)
+    points_local = _unproject_image_flat(params, depth_m_flat)
     points_global = _transform(global_T_local, points_local)
     normals_global = _rotate(global_T_local, normals_img)
-    color_flat = color.reshape(hw, 3)
+    color_flat = (color[0].reshape(hw), color[1].reshape(hw),
+                  color[2].reshape(hw))
     if params.debug_stop_after <= 4:
-        return _dbg_return(depth_m_flat, points_global, normals_global)
+        return _dbg_return(depth_m_flat, points_global[0], normals_global[0])
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
     attrs = dict(
-        pos=state.pos, smooth=state.smooth_pos, normal=state.normal,
-        color=state.color.astype(jnp.float32), detach=detach,
-        conf=state.confidence, radius=radius_sq,
+        pos=pos_v, smooth=_v(state.smooth_pos), normal=normal_v,
+        color=tuple(c.astype(jnp.float32) for c in _v(state.color)),
+        detach=detach, conf=state.confidence, radius=radius_sq,
         creation=state.creation_stamp, stamp=last_update_stamp,
         neighbors=state.neighbors,
     )
@@ -389,9 +435,9 @@ def integrate_frame(
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
-        g_pos = points_global[pixc]
-        g_normal = normals_global[pixc]
-        g_color = color_flat[pixc].astype(jnp.float32)
+        g_pos = _gather(points_global, pixc)
+        g_normal = _gather(normals_global, pixc)
+        g_color = tuple(c[pixc].astype(jnp.float32) for c in color_flat)
         g_radius = radius_flat[pixc]
 
         # Conflict handling (kernels.cu:816-868): confidence - 1; at zero the
@@ -401,14 +447,13 @@ def integrate_frame(
         dec = conflicting & ~reinit
 
         a = dict(attrs)
-        rei3 = reinit[:, None]
-        a["pos"] = jnp.where(rei3, g_pos, attrs["pos"])
-        a["smooth"] = jnp.where(rei3, g_pos, attrs["smooth"])
-        a["normal"] = jnp.where(rei3, g_normal, attrs["normal"])
-        a["color"] = jnp.where(rei3, g_color, attrs["color"])
+        a["pos"] = _where(reinit, g_pos, attrs["pos"])
+        a["smooth"] = _where(reinit, g_pos, attrs["smooth"])
+        a["normal"] = _where(reinit, g_normal, attrs["normal"])
+        a["color"] = _where(reinit, g_color, attrs["color"])
         a["detach"] = jnp.where(reinit, True, attrs["detach"])
         a["radius"] = jnp.where(reinit, g_radius, attrs["radius"])
-        a["neighbors"] = jnp.where(reinit[:, None], INVALID_INDEX,
+        a["neighbors"] = jnp.where(reinit[None, :], INVALID_INDEX,
                                    attrs["neighbors"])
         a["conf"] = jnp.where(reinit, 1.0,
                               jnp.where(dec, new_conf, attrs["conf"]))
@@ -416,13 +461,13 @@ def integrate_frame(
         a["stamp"] = jnp.where(reinit, frame_index, attrs["stamp"])
 
         # Same-surface checks (kernels.cu:875-919).
-        dot_view = jnp.sum(local_pos * _rotate(local_T_global, a["normal"]),
-                           axis=-1) / jnp.maximum(surfel_dist, 1e-30)
+        local_srf_normal = _rotate(local_T_global, a["normal"])
+        dot_view = _dot(local_pos, local_srf_normal) / \
+            jnp.maximum(surfel_dist, 1e-30)
         on = on & (dot_view <= SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
         compat_needed = meas < z
-        local_meas_normal = normals_img[pixc]
-        compat = jnp.sum(_rotate(local_T_global, a["normal"]) *
-                         local_meas_normal, axis=-1) >= cos_compat
+        local_meas_normal = _gather(normals_img, pixc)
+        compat = _dot(local_srf_normal, local_meas_normal) >= cos_compat
         on = on & (~compat_needed | compat)
         on = on & (a["radius"] >= 0)
         # Surfels replaced this frame are not updated (kernels.cu:937-940).
@@ -432,25 +477,25 @@ def integrate_frame(
             1, support_counts[pixc]).astype(jnp.float32)
         conf = a["conf"]
         norm_factor = 1.0 / (conf + weight)
-        on3 = on[:, None]
 
         new_conf2 = jnp.minimum(conf + weight, params.max_surfel_confidence)
         a["conf"] = jnp.where(on, new_conf2, a["conf"])
-        a["pos"] = jnp.where(
-            on3, (conf[:, None] * a["pos"] + weight[:, None] * g_pos) *
-            norm_factor[:, None], a["pos"])
-        nrm = conf[:, None] * a["normal"] + weight[:, None] * g_normal
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
-        a["normal"] = jnp.where(on3, nrm, a["normal"])
+        blended = tuple((conf * p + weight * g) * norm_factor
+                        for p, g in zip(a["pos"], g_pos))
+        a["pos"] = _where(on, blended, a["pos"])
+        nrm = tuple(conf * s + weight * g
+                    for s, g in zip(a["normal"], g_normal))
+        nrm_len = jnp.maximum(jnp.sqrt(_dot(nrm, nrm)), 1e-30)
+        nrm = tuple(c / nrm_len for c in nrm)
+        a["normal"] = _where(on, nrm, a["normal"])
         a["radius"] = jnp.where(on, jnp.minimum(a["radius"], g_radius),
                                 a["radius"])
         # u8 color blend with +0.5 truncation (kernels.cu:962-967);
         # the update also clears the detach flag.
-        new_color = jnp.floor(
-            (conf[:, None] * a["color"] + weight[:, None] * g_color) *
-            norm_factor[:, None] + 0.5)
-        a["color"] = jnp.where(on3, new_color, a["color"])
+        new_color = tuple(jnp.floor((conf * c + weight * g) * norm_factor
+                                    + 0.5)
+                          for c, g in zip(a["color"], g_color))
+        a["color"] = _where(on, new_color, a["color"])
         a["detach"] = jnp.where(on, False, a["detach"])
         a["stamp"] = jnp.where(on, frame_index, a["stamp"])
         return a
@@ -458,10 +503,11 @@ def integrate_frame(
     attrs = integrate_at(attrs, pix_a, base_on)
     attrs = integrate_at(attrs, pix_b, base_on & side_ok)
 
-    pos = attrs["pos"]
-    smooth_pos = attrs["smooth"]
-    normal = attrs["normal"]
-    color_s = jnp.clip(attrs["color"], 0, 255).astype(jnp.uint8)
+    pos_v = attrs["pos"]
+    smooth_v = attrs["smooth"]
+    normal_v = attrs["normal"]
+    color_v = tuple(jnp.clip(c, 0, 255).astype(jnp.uint8)
+                    for c in attrs["color"])
     detach = attrs["detach"]
     confidence = attrs["conf"]
     radius_sq = attrs["radius"]
@@ -469,46 +515,47 @@ def integrate_frame(
     last_update_stamp = attrs["stamp"]
     neighbors = attrs["neighbors"]
     if params.debug_stop_after <= 5:
-        return _dbg_return(pos, smooth_pos, normal, color_s, confidence,
-                           radius_sq, last_update_stamp, neighbors)
+        return _dbg_return(pos_v[0], smooth_v[0], normal_v[0], color_v[0],
+                           confidence, radius_sq, last_update_stamp,
+                           neighbors)
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
     neighbors = _update_neighbors(
         params, idx, active, local_pos, z, px, py,
-        pos, normal, radius_sq, detach,
+        pos_v, normal_v, radius_sq, detach,
         neighbors, depth_m_flat, radius_flat,
         supporting_surfels, local_T_global)
     if params.debug_stop_after <= 6:
-        return _dbg_return(neighbors, pos, smooth_pos)
+        return _dbg_return(neighbors, pos_v[0], smooth_v[0])
 
     # --- Phase 7: New surfel creation (kernels.cu:90-271, .cc:37-146) -----
-    (pos, smooth_pos, normal, color_s, detach, confidence, radius_sq,
+    (pos_v, smooth_v, normal_v, color_v, detach, confidence, radius_sq,
      creation_stamp, last_update_stamp, neighbors, surfel_count,
      overflow_count) = _create_new_surfels(
-        params, depth, radius_img, supporting_surfels, conflicting_surfels,
-        points_global.reshape(h, w, 3), normals_global.reshape(h, w, 3),
-        color, depth_m_img,
-        pos, smooth_pos, normal, color_s, detach, confidence, radius_sq,
+        params, depth, radius_flat, supporting_surfels, conflicting_surfels,
+        points_global, normals_global, color_flat, depth_m_flat,
+        pos_v, smooth_v, normal_v, color_v, detach, confidence, radius_sq,
         creation_stamp, last_update_stamp, neighbors,
         state.surfel_count, state.overflow_count, frame_index)
     if params.debug_stop_after <= 7:
-        return _dbg_return(pos, smooth_pos, normal, color_s, confidence,
-                           radius_sq, neighbors,
+        return _dbg_return(pos_v[0], smooth_v[0], normal_v[0], color_v[0],
+                           confidence, radius_sq, neighbors,
                            surfel_count[None], overflow_count[None])
 
     # --- Phase 8: Regularization (kernels.cu:2099-2410) -------------------
     if params.regularization_iterations == 0:
         recent = last_update_stamp >= \
             frame_index - params.regularization_frame_window_size
-        smooth_pos = jnp.where(recent[:, None], pos, smooth_pos)
+        smooth_v = _where(recent, pos_v, smooth_v)
     else:
         for _ in range(params.regularization_iterations):
-            smooth_pos, neighbors = _regularize(
-                params, idx, pos, smooth_pos, normal, radius_sq,
+            smooth_v, neighbors = _regularize(
+                params, idx, pos_v, smooth_v, normal_v, radius_sq,
                 last_update_stamp, neighbors, frame_index)
 
     return SurfelState(
-        pos=pos, smooth_pos=smooth_pos, normal=normal, color=color_s,
+        pos=_stack(pos_v), smooth_pos=_stack(smooth_v),
+        normal=_stack(normal_v), color=_stack(color_v),
         detach=detach, confidence=confidence, radius_sq=radius_sq,
         creation_stamp=creation_stamp, last_update_stamp=last_update_stamp,
         neighbors=neighbors, surfel_count=surfel_count,
@@ -607,12 +654,12 @@ def _blend_measurements(params, depth, supporting_surfels, counts, sums):
 
 
 def _update_neighbors(params, idx, active, local_pos, z, px, py,
-                      pos, normal, radius_sq, detach,
+                      pos_v, normal_v, radius_sq, detach,
                       neighbors, depth_m_flat, radius_flat,
                       supporting_surfels, local_T_global):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
     of the 4 adjacent pixels (kernels.cu:1197-1455)."""
-    n = pos.shape[0]
+    n = radius_sq.shape[0]
     h, w = params.height, params.width
     hw = h * w
     noise = params.sensor_noise_factor
@@ -624,9 +671,9 @@ def _update_neighbors(params, idx, active, local_pos, z, px, py,
     pixc = jnp.clip(jnp.where(on, py * w + px, 0), 0, hw - 1)
     meas = depth_m_flat[pixc]
     on = on & ~(z > (1.0 + noise) * meas)     # zero meas occludes everything
-    local_normal = _rotate(local_T_global, normal)
-    sdist = jnp.sqrt(jnp.sum(local_pos * local_pos, axis=-1))
-    on = on & ((jnp.sum(local_pos * local_normal, axis=-1) /
+    local_normal = _rotate(local_T_global, normal_v)
+    sdist = jnp.sqrt(_dot(local_pos, local_pos))
+    on = on & ((_dot(local_pos, local_normal) /
                 jnp.maximum(sdist, 1e-30)) <=
                SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
     on = on & (radius_sq >= 0)
@@ -635,47 +682,58 @@ def _update_neighbors(params, idx, active, local_pos, z, px, py,
         on = on & (obs_radius / jnp.where(radius_sq != 0, radius_sq, 1e-30)
                    <= MAX_OBSERVATION_RADIUS_FACTOR ** 2)
 
-    # Existing neighbor slots with squared distances (raw positions).
-    slot_idx = neighbors
-    slot_valid = slot_idx != INVALID_INDEX
-    slot_clip = jnp.clip(slot_idx, 0, n - 1)
-    slot_pos = pos[slot_clip]
-    slot_dist = jnp.where(
-        slot_valid,
-        jnp.sum((pos[:, None, :] - slot_pos) ** 2, axis=-1),
-        jnp.inf)
+    # Existing neighbor slots with squared distances (raw positions),
+    # kept as 4 separate (N,) lanes.
+    slot_idx = [neighbors[k] for k in range(4)]
+    slot_dist = []
+    for k in range(4):
+        valid_k = slot_idx[k] != INVALID_INDEX
+        clip_k = jnp.clip(slot_idx[k], 0, n - 1)
+        d = _sub(pos_v, _gather(pos_v, clip_k))
+        slot_dist.append(jnp.where(valid_k, _dot(d, d), jnp.inf))
 
-    for direction, (dx, dy) in enumerate(((-1, 0), (1, 0), (0, -1), (0, 1))):
+    for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
         cand_pix = jnp.clip(pixc + dy * w + dx, 0, hw - 1)
         cand = supporting_surfels[cand_pix]
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
         cand_clip = jnp.clip(cand, 0, n - 1)
-        c_dist = jnp.sum((pos[cand_clip] - pos) ** 2, axis=-1)
+        cd = _sub(_gather(pos_v, cand_clip), pos_v)
+        c_dist = _dot(cd, cd)
         c_ok = c_ok & (c_dist <= reg_factor_sq * radius_sq)
-        c_ok = c_ok & (jnp.sum(normal * normal[cand_clip], axis=-1) > 0)
+        c_ok = c_ok & (_dot(normal_v, _gather(normal_v, cand_clip)) > 0)
 
-        already = jnp.any(slot_idx == cand[:, None], axis=-1)
+        already = (slot_idx[0] == cand)
+        for k in range(1, 4):
+            already = already | (slot_idx[k] == cand)
         c_ok = c_ok & ~already
-        best = jnp.argmax(slot_dist, axis=-1)
-        best_dist = jnp.take_along_axis(slot_dist, best[:, None], axis=-1)[:, 0]
-        c_ok = c_ok & (c_dist < best_dist)
 
-        onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
-        slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
-        slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
+        # Replace the farthest slot if the candidate is closer (first max
+        # wins, like the reference's strict > scan, kernels.cu:1353-1369).
+        best = jnp.zeros_like(idx)
+        best_dist = slot_dist[0]
+        for k in range(1, 4):
+            better = slot_dist[k] > best_dist
+            best = jnp.where(better, k, best)
+            best_dist = jnp.where(better, slot_dist[k], best_dist)
+        c_ok = c_ok & (c_dist < best_dist)
+        for k in range(4):
+            hit = c_ok & (best == k)
+            slot_idx[k] = jnp.where(hit, cand, slot_idx[k])
+            slot_dist[k] = jnp.where(hit, c_dist, slot_dist[k])
 
     # Drop neighbors whose surfel has the detach flag set
     # (kernels.cu:1420-1437); applies to every surfel, not only active ones.
-    slot_clip = jnp.clip(slot_idx, 0, n - 1)
-    slot_detach = detach[slot_clip] & (slot_idx != INVALID_INDEX)
-    slot_idx = jnp.where(slot_detach, INVALID_INDEX, slot_idx)
-    return slot_idx
+    for k in range(4):
+        clip_k = jnp.clip(slot_idx[k], 0, n - 1)
+        slot_detach = detach[clip_k] & (slot_idx[k] != INVALID_INDEX)
+        slot_idx[k] = jnp.where(slot_detach, INVALID_INDEX, slot_idx[k])
+    return jnp.stack(slot_idx, axis=0)
 
 
-def _create_new_surfels(params, depth, radius_img, supporting_surfels,
+def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
                         conflicting_surfels, points_global, normals_global,
-                        color, depth_m_img,
-                        pos, smooth_pos, normal, color_s, detach, confidence,
+                        color_flat, depth_m_flat,
+                        pos_v, smooth_v, normal_v, color_v, detach, confidence,
                         radius_sq, creation_stamp, last_update_stamp,
                         neighbors, surfel_count, overflow_count, frame_index):
     """Append a surfel for every unexplained valid depth pixel
@@ -683,81 +741,91 @@ def _create_new_surfels(params, depth, radius_img, supporting_surfels,
     DeviceScan::ExclusiveSum (kernels.cc:94-113)."""
     h, w = depth.shape
     hw = h * w
-    n = pos.shape[0]
+    n = radius_sq.shape[0]
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)[:, 0]
+    xs = lin % w
+    ys = lin // w
     interior = (xs >= 1) & (ys >= 1) & (xs < w - 1) & (ys < h - 1)
-    flags = interior & (depth > 0) & \
-        (supporting_surfels.reshape(h, w) == INVALID_INDEX) & \
-        (conflicting_surfels.reshape(h, w) == INVALID_INDEX)
-    flags_flat = flags.reshape(hw)
+    flags_flat = interior & (depth.reshape(hw) > 0) & \
+        (supporting_surfels == INVALID_INDEX) & \
+        (conflicting_surfels == INVALID_INDEX)
 
-    prefix = jnp.cumsum(flags_flat.astype(jnp.int32)) - flags_flat.astype(jnp.int32)
+    prefix = jnp.cumsum(flags_flat.astype(jnp.int32)) - \
+        flags_flat.astype(jnp.int32)
     total = prefix[-1] + flags_flat[-1].astype(jnp.int32)
     dest = surfel_count + prefix                      # (HW,)
     fits = flags_flat & (dest < n)
     dest_idx = jnp.where(fits, dest, INVALID_INDEX)
 
-    new_pos = points_global.reshape(hw, 3)
-    new_normal = normals_global.reshape(hw, 3)
-    new_color = color.reshape(hw, 3)
-    new_radius = radius_img.reshape(hw)
-
     # Initial neighbors from the 4 adjacent pixels (kernels.cu:189-224):
     # an adjacent supporting surfel within range, else the adjacent pixel's
     # new surfel (depth-difference proximity test).
-    depth_m_flat = depth_m_img.reshape(hw)
-    sup_flat = supporting_surfels
     nbr_slots = []
-    exist_sum = jnp.zeros((hw, 3), jnp.float32)
+    exist_sum = (jnp.zeros((hw,), jnp.float32),) * 3
+    exist_sum = list(exist_sum)
     exist_cnt = jnp.ones((hw,), jnp.float32)  # count + 1
     for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        adj = jnp.clip(jnp.arange(hw, dtype=jnp.int32) + dy * w + dx,
-                       0, hw - 1)
-        sup = sup_flat[adj]
+        adj = jnp.clip(lin + dy * w + dx, 0, hw - 1)
+        sup = supporting_surfels[adj]
         has_sup = sup != INVALID_INDEX
         supc = jnp.clip(sup, 0, n - 1)
-        d_sq = jnp.sum((pos[supc] - new_pos) ** 2, axis=-1)
-        in_range = d_sq <= reg_factor_sq * new_radius
+        d = _sub(_gather(pos_v, supc), points_global)
+        d_sq = _dot(d, d)
+        in_range = d_sq <= reg_factor_sq * radius_flat
         use_sup = has_sup & in_range
-        exist_sum += jnp.where(use_sup[:, None], smooth_pos[supc], 0.0)
+        sup_smooth = _gather(smooth_v, supc)
+        for k in range(3):
+            exist_sum[k] = exist_sum[k] + jnp.where(use_sup,
+                                                    sup_smooth[k], 0.0)
         exist_cnt += use_sup.astype(jnp.float32)
 
         adj_new = flags_flat[adj]
         approx_sq = (depth_m_flat - depth_m_flat[adj]) ** 2
-        use_new = (~has_sup) & adj_new & (approx_sq <= reg_factor_sq * new_radius)
+        use_new = (~has_sup) & adj_new & \
+            (approx_sq <= reg_factor_sq * radius_flat)
         adj_dest = surfel_count + prefix[adj]
         slot = jnp.where(use_sup, sup,
                          jnp.where(use_new & (adj_dest < n), adj_dest,
                                    INVALID_INDEX))
         nbr_slots.append(slot)
-    new_neighbors = jnp.stack(nbr_slots, axis=-1)
-    new_smooth = (new_pos + exist_sum) / exist_cnt[:, None]
+    new_smooth = tuple((points_global[k] + exist_sum[k]) / exist_cnt
+                       for k in range(3))
 
-    pos = pos.at[dest_idx].set(new_pos, mode="drop")
-    smooth_pos = smooth_pos.at[dest_idx].set(new_smooth, mode="drop")
-    normal = normal.at[dest_idx].set(new_normal, mode="drop")
-    color_s = color_s.at[dest_idx].set(new_color, mode="drop")
+    pos_out = []
+    smooth_out = []
+    normal_out = []
+    color_out = []
+    for k in range(3):
+        pos_out.append(pos_v[k].at[dest_idx].set(points_global[k],
+                                                 mode="drop"))
+        smooth_out.append(smooth_v[k].at[dest_idx].set(new_smooth[k],
+                                                       mode="drop"))
+        normal_out.append(normal_v[k].at[dest_idx].set(normals_global[k],
+                                                       mode="drop"))
+        color_out.append(color_v[k].at[dest_idx].set(color_flat[k],
+                                                     mode="drop"))
     detach = detach.at[dest_idx].set(False, mode="drop")
     confidence = confidence.at[dest_idx].set(1.0, mode="drop")
-    radius_sq = radius_sq.at[dest_idx].set(new_radius, mode="drop")
+    radius_sq = radius_sq.at[dest_idx].set(radius_flat, mode="drop")
     creation_stamp = creation_stamp.at[dest_idx].set(frame_index, mode="drop")
     last_update_stamp = last_update_stamp.at[dest_idx].set(
         frame_index, mode="drop")
-    neighbors = neighbors.at[dest_idx].set(new_neighbors, mode="drop")
+    nbr_rows = [neighbors[k].at[dest_idx].set(nbr_slots[k], mode="drop")
+                for k in range(4)]
 
     created = jnp.minimum(total, jnp.maximum(n - surfel_count, 0))
     overflow_count = overflow_count + (total - created)
     surfel_count = surfel_count + created
-    return (pos, smooth_pos, normal, color_s, detach, confidence, radius_sq,
-            creation_stamp, last_update_stamp, neighbors, surfel_count,
-            overflow_count)
+    return (tuple(pos_out), tuple(smooth_out), tuple(normal_out),
+            tuple(color_out), detach, confidence, radius_sq,
+            creation_stamp, last_update_stamp, jnp.stack(nbr_rows, axis=0),
+            surfel_count, overflow_count)
 
 
-def _regularize(params, idx, pos, smooth_pos, normal, radius_sq,
+def _regularize(params, idx, pos_v, smooth_v, normal_v, radius_sq,
                 last_update_stamp, neighbors, frame_index):
     """One gradient-descent denoising iteration (kernels.cu:2099-2308).
 
@@ -766,62 +834,76 @@ def _regularize(params, idx, pos, smooth_pos, normal, radius_sq,
     recent surfel takes a step on its smoothed position with a data term
     toward the raw position, step length clamped to the surfel radius.
     """
-    n = pos.shape[0]
+    n = radius_sq.shape[0]
     w_reg = jnp.float32(params.regularizer_weight)
     window = params.regularization_frame_window_size
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
 
-    nbr_valid = neighbors != INVALID_INDEX
-    nbr_clip = jnp.clip(neighbors, 0, n - 1)
-    nbr_recent = last_update_stamp[nbr_clip] >= frame_index - window
-    use = nbr_valid & nbr_recent                     # (N, 4)
-    cnt = jnp.sum(use.astype(jnp.float32), axis=-1)  # (N,)
+    slot = [neighbors[k] for k in range(4)]
+    use = []
+    to_nbr = []
+    ndot = []
+    nbr_dist_sq = []
+    cnt = jnp.zeros((n,), jnp.float32)
+    for k in range(4):
+        valid_k = slot[k] != INVALID_INDEX
+        clip_k = jnp.clip(slot[k], 0, n - 1)
+        recent_k = last_update_stamp[clip_k] >= frame_index - window
+        u = valid_k & recent_k
+        use.append(u)
+        cnt += u.astype(jnp.float32)
+        d = _sub(_gather(smooth_v, clip_k), smooth_v)
+        to_nbr.append(d)
+        ndot.append(_dot(normal_v, d))
+        nbr_dist_sq.append(_dot(d, d))
 
-    nbr_smooth = smooth_pos[nbr_clip]                # (N, 4, 3)
-    to_nbr = nbr_smooth - smooth_pos[:, None, :]
-    ndot = jnp.sum(normal[:, None, :] * to_nbr, axis=-1)  # (N, 4)
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
-    term = (factor[:, None] * ndot)[..., None] * normal[:, None, :]  # (N,4,3)
-
-    scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
-    grad = jnp.zeros((n, 3), jnp.float32)
-    grad = grad.at[scatter_idx].add(
-        jnp.where(use[..., None], term, 0.0).reshape(-1, 3), mode="drop")
+    grad = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
     gcount = jnp.zeros((n,), jnp.float32)
-    gcount = gcount.at[scatter_idx].add(
-        jnp.where(use, w_reg / jnp.maximum(cnt, 1.0)[:, None], 0.0)
-        .reshape(-1), mode="drop")
+    for k in range(4):
+        tgt = jnp.where(use[k], slot[k], INVALID_INDEX)
+        term_scale = factor * ndot[k]
+        for c in range(3):
+            grad[c] = grad[c].at[tgt].add(
+                jnp.where(use[k], term_scale * normal_v[c], 0.0),
+                mode="drop")
+        gcount = gcount.at[tgt].add(
+            jnp.where(use[k], w_reg / jnp.maximum(cnt, 1.0), 0.0),
+            mode="drop")
+        # Remove active neighbors that drifted out of range
+        # (kernels.cu:2184-2192).
+        drop = use[k] & (nbr_dist_sq[k] > reg_factor_sq * radius_sq)
+        slot[k] = jnp.where(drop, INVALID_INDEX, slot[k])
 
-    # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
-    nbr_dist_sq = jnp.sum(to_nbr * to_nbr, axis=-1)
-    drop = use & (nbr_dist_sq > reg_factor_sq * radius_sq[:, None])
-    neighbors = jnp.where(drop, INVALID_INDEX, neighbors)
-
-    # Per-surfel step (kernels.cu:2197-2308).
+    # Per-surfel step (kernels.cu:2197-2308) over the updated neighbor list.
     recent = last_update_stamp >= frame_index - window
-    nbr_valid2 = neighbors != INVALID_INDEX
-    nbr_clip2 = jnp.clip(neighbors, 0, n - 1)
-    nbr_smooth2 = smooth_pos[nbr_clip2]
-    to_nbr2 = nbr_smooth2 - smooth_pos[:, None, :]
-    ndot2 = jnp.sum(normal[:, None, :] * to_nbr2, axis=-1)
-    reg_grad = -jnp.sum(
-        jnp.where(nbr_valid2[..., None],
-                  ndot2[..., None] * normal[:, None, :], 0.0), axis=1)
-    cnt2 = jnp.sum(nbr_valid2.astype(jnp.float32), axis=-1)
+    reg_grad = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    cnt2 = jnp.zeros((n,), jnp.float32)
+    for k in range(4):
+        valid_k = slot[k] != INVALID_INDEX
+        clip_k = jnp.clip(slot[k], 0, n - 1)
+        d = _sub(_gather(smooth_v, clip_k), smooth_v)
+        nd = _dot(normal_v, d)
+        for c in range(3):
+            reg_grad[c] = reg_grad[c] - jnp.where(valid_k, nd * normal_v[c],
+                                                  0.0)
+        cnt2 += valid_k.astype(jnp.float32)
     factor2 = jnp.where(cnt2 > 0, 2.0 * w_reg / jnp.maximum(cnt2, 1.0), 0.0)
 
-    gradient = 2.0 * (smooth_pos - pos) + grad + factor2[:, None] * reg_grad
+    gradient = tuple(2.0 * (smooth_v[c] - pos_v[c]) + grad[c] +
+                     factor2 * reg_grad[c] for c in range(3))
     weight_sum = 1.0 + w_reg + gcount
     step = 0.5 / weight_sum
     max_step = jnp.sqrt(radius_sq)      # NaN for merged surfels, as in CUDA
-    grad_len = step * jnp.sqrt(jnp.sum(gradient * gradient, axis=-1))
+    grad_len = step * jnp.sqrt(_dot(gradient, gradient))
     step_factor = jnp.where(grad_len > max_step,
                             max_step / jnp.maximum(grad_len, 1e-30) * step,
                             step)
-    new_smooth = smooth_pos - step_factor[:, None] * gradient
-    smooth_pos = jnp.where(recent[:, None], new_smooth, smooth_pos)
-    return smooth_pos, neighbors
+    new_smooth = tuple(smooth_v[c] - step_factor * gradient[c]
+                       for c in range(3))
+    smooth_v = _where(recent, new_smooth, smooth_v)
+    return smooth_v, jnp.stack(slot, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -831,9 +913,9 @@ def _regularize(params, idx, pos, smooth_pos, normal, radius_sq,
 @jax.jit
 def export_vertices(state: SurfelState):
     """ExportVerticesCUDA (kernels.cu:2412-2464): smoothed positions with NaN
-    for merged surfels, plus colors."""
+    for merged surfels, plus colors.  Returns ((3, N) f32, (3, N) u8)."""
     merged = state.radius_sq < 0
-    positions = jnp.where(merged[:, None], jnp.nan, state.smooth_pos)
+    positions = jnp.where(merged[None, :], jnp.nan, state.smooth_pos)
     return positions, state.color
 
 

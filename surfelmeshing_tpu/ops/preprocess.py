@@ -130,7 +130,13 @@ def outlier_depth_map_fusion(
     py_ref = depth_f * (fy_inv * ys.astype(jnp.float32) + cy_inv)
     pz_ref = depth_f
 
-    def one_other(other_depth, T):
+    # NOTE: gathers use flat 1-D indices into the flattened (K*H*W,) stack;
+    # a vmapped 2-D gather lowers to a slow elementwise multi-dim gather on
+    # TPU (slice_sizes={1,1,1}), ~50x slower than the flat form.
+    hw = height * width
+    others_flat = other_depths.reshape(-1)
+
+    def one_other(k, other_depth_flat, T):
         ox = T[0, 0] * px_ref + T[0, 1] * py_ref + T[0, 2] * pz_ref + T[0, 3]
         oy = T[1, 0] * px_ref + T[1, 1] * py_ref + T[1, 2] * pz_ref + T[1, 3]
         oz = T[2, 0] * px_ref + T[2, 1] * py_ref + T[2, 2] * pz_ref + T[2, 3]
@@ -142,15 +148,19 @@ def outlier_depth_map_fusion(
         ui = u.astype(jnp.int32)
         vi = v.astype(jnp.int32)
         in_image = (ui >= 0) & (vi >= 0) & (ui < width) & (vi < height)
-        ui_c = jnp.clip(ui, 0, width - 1)
-        vi_c = jnp.clip(vi, 0, height - 1)
-        sampled = other_depth[vi_c, ui_c].astype(jnp.float32)
+        flat = jnp.clip(vi, 0, height - 1) * width + \
+            jnp.clip(ui, 0, width - 1) + k * hw
+        sampled = other_depth_flat[flat.reshape(-1)].reshape(height, width) \
+            .astype(jnp.float32)
         ok = front & in_image & (sampled > 0) & \
             (sampled <= max_tol * oz) & (sampled >= min_tol * oz)
         return ok
 
-    oks = jax.vmap(one_other)(other_depths, others_T_reference)  # (K, H, W)
-    ok_count = jnp.sum(oks.astype(jnp.int32), axis=0)
+    ok_count = jnp.zeros((height, width), jnp.int32)
+    for k_static in range(k):
+        ok_count += one_other(k_static, others_flat,
+                              others_T_reference[k_static]) \
+            .astype(jnp.int32)
     keep = (depth != 0) & (ok_count >= required_inliers)
     return jnp.where(keep, depth, 0).astype(jnp.uint16)
 
@@ -196,8 +206,10 @@ def compute_normals_and_drop_bad_pixels(
 
     Central-difference cross-product normals from the 4-neighborhood; drops
     pixels whose normal is observed at a grazing angle.  Returns
-    (out_depth u16, normals_xy (H, W, 2) f32); the stored normal is the (x, y)
+    (out_depth u16, normals_xy (2, H, W) f32); the stored normal is the (x, y)
     pair, z is reconstructed downstream as -sqrt(max(0, 1 - x^2 - y^2)).
+    Plane-major layout: on TPU a (H, W, 2) array would pad the minor dim to
+    128 lanes.
     """
     height, width = depth.shape
     fx_inv = 1.0 / fx
@@ -252,9 +264,8 @@ def compute_normals_and_drop_bad_pixels(
     keep = valid & (dot < normal_dot_threshold)
 
     out_depth = jnp.where(keep, center, 0).astype(jnp.uint16)
-    normals_xy = jnp.where(valid[..., None],
-                           jnp.stack([nx, ny], axis=-1),
-                           0.0).astype(jnp.float32)
+    normals_xy = jnp.stack([jnp.where(valid, nx, 0.0),
+                            jnp.where(valid, ny, 0.0)]).astype(jnp.float32)
     return out_depth, normals_xy
 
 
@@ -370,7 +381,7 @@ def preprocess_frame(
 ):
     """Full preprocessing chain for one frame (driver order, main.cc:1014-1191).
 
-    Returns (depth u16, normals_xy (H,W,2) f32, radius_sq (H,W) f32).
+    Returns (depth u16, normals_xy (2,H,W) f32, radius_sq (H,W) f32).
     """
     d = bilateral_filter_and_cutoff(
         depth, sigma_xy, sigma_value_factor, radius_factor,

@@ -124,6 +124,8 @@ class ReconstructionPipeline:
         if cfg.pyramid_level > 0:
             step = 1 << cfg.pyramid_level
             color = color[::step, ::step]
+        # Plane-major (3, H, W) for TPU-friendly tiling.
+        color = np.ascontiguousarray(color.transpose(2, 0, 1))
 
         pose = video.depth_frames[frame_index].global_T_frame
         T_gl = pose.matrix3x4().astype(np.float32)
@@ -207,11 +209,15 @@ class ReconstructionPipeline:
         jax.block_until_ready(self.state)
 
     def snapshot(self):
-        """SoA snapshot for the meshing engine (TransferAllToCPU analog)."""
+        """SoA snapshot for the meshing engine (TransferAllToCPU analog).
+        Device arrays are attribute-major (3, N); the host meshing engine
+        takes row-major (N, 3), so transpose on the host."""
         smooth, radius_sq, normal, stamps, count = meshing_snapshot(self.state)
         count = int(count)
-        return (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
-                np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
+        smooth = np.ascontiguousarray(np.asarray(smooth[:, :count]).T)
+        normal = np.ascontiguousarray(np.asarray(normal[:, :count]).T)
+        return (smooth, np.asarray(radius_sq[:count]), normal,
+                np.asarray(stamps[:count]), count)
 
     def export_point_cloud(self, path: str) -> int:
         """Save the surfel cloud as PLY (SavePointCloudAsPLY, main.cc:179-203);
@@ -219,9 +225,9 @@ class ReconstructionPipeline:
         from .io.mesh_io import write_ply
         positions, colors = export_vertices(self.state)
         count = self.surfel_count()
-        positions = np.asarray(positions[:count])
-        colors = np.asarray(colors[:count])
-        normals = np.asarray(self.state.normal[:count])
+        positions = np.asarray(positions[:, :count]).T
+        colors = np.asarray(colors[:, :count]).T
+        normals = np.asarray(self.state.normal[:, :count]).T
         alive = ~np.isnan(positions[:, 0])
         write_ply(path, positions[alive], colors[alive], normals[alive])
         return int(alive.sum())

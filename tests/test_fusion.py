@@ -27,12 +27,12 @@ IDENT = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]], np.float32)
 def flat_wall_inputs(depth_m=2.0, cap=4096):
     """A fronto-parallel wall with valid geometry on the full interior."""
     depth = np.full((H, W), int(SCALE * depth_m + 0.5), np.uint16)
-    normals = np.zeros((H, W, 2), np.float32)  # normal (0, 0, -1)
+    normals = np.zeros((2, H, W), np.float32)  # normal (0, 0, -1)
     # radius from pixel footprint: distance between adjacent unprojected
     # pixels is depth/f; use a generous squared radius.
     r = (depth_m / FX) * 1.5
     radius = np.full((H, W), r * r, np.float32)
-    color = np.full((H, W, 3), 128, np.uint8)
+    color = np.full((3, H, W), 128, np.uint8)
     return depth, normals, radius, color
 
 
@@ -53,13 +53,13 @@ class TestCreation:
         # All interior pixels (1px border excluded) become surfels
         # (kernels.cu:99-107).
         assert count == (H - 2) * (W - 2)
-        pos = np.asarray(state.pos[:count])
+        pos = np.asarray(state.pos[:, :count]).T
         assert np.allclose(pos[:, 2], 2.0, atol=1e-3)
         assert np.all(np.asarray(state.confidence[:count]) == 1.0)
         assert np.all(np.asarray(state.creation_stamp[:count]) == 0)
-        nrm = np.asarray(state.normal[:count])
+        nrm = np.asarray(state.normal[:, :count]).T
         assert np.allclose(nrm, [0, 0, -1], atol=1e-6)
-        col = np.asarray(state.color[:count])
+        col = np.asarray(state.color[:, :count])
         assert np.all(col == 128)
 
     def test_initial_neighbors_linked(self):
@@ -67,7 +67,7 @@ class TestCreation:
         depth, normals, radius, color = flat_wall_inputs()
         state = run_frame(state, depth, normals, radius, color, 0)
         count = int(state.surfel_count)
-        nbrs = np.asarray(state.neighbors[:count])
+        nbrs = np.asarray(state.neighbors[:, :count]).T
         # Interior-of-interior surfels have all 4 neighbors.
         n_full = (nbrs != int(INVALID_INDEX)).all(axis=1).sum()
         assert n_full >= (H - 4) * (W - 4)
@@ -124,9 +124,10 @@ class TestConflict:
         pos = np.zeros(3, np.float32)
         pos[2] = 1.0
         state = state._replace(
-            pos=state.pos.at[tgt].set(pos),
-            smooth_pos=state.smooth_pos.at[tgt].set(pos),
-            normal=state.normal.at[tgt].set([0, 0, -1]),
+            pos=state.pos.at[:, tgt].set(pos),
+            smooth_pos=state.smooth_pos.at[:, tgt].set(pos),
+            normal=state.normal.at[:, tgt].set(
+                np.array([0, 0, -1], np.float32)),
             confidence=state.confidence.at[tgt].set(2.0),
             radius_sq=state.radius_sq.at[tgt].set(0.001),
             creation_stamp=state.creation_stamp.at[tgt].set(0),
@@ -140,7 +141,7 @@ class TestConflict:
         # After repeated conflicts the surfel is re-initialized onto the wall
         # (conf reset to 1; it may then re-integrate measurements, so conf is
         # low but not necessarily exactly 1 by the time we observe it).
-        z = float(state.pos[tgt, 2])
+        z = float(state.pos[2, tgt])
         assert z == pytest.approx(2.0, abs=1e-2)
         assert float(state.confidence[tgt]) < 2.0
         assert int(state.creation_stamp[tgt]) >= 1  # was re-created
@@ -157,11 +158,11 @@ class TestMerge:
         # offset position -> merge tombstone (kernels.cu:1949-1991).
         src = count // 2
         tgt = count
-        p = np.asarray(state.pos[src]) + np.array([1e-5, 0, 0], np.float32)
+        p = np.asarray(state.pos[:, src]) + np.array([1e-5, 0, 0], np.float32)
         state = state._replace(
-            pos=state.pos.at[tgt].set(p),
-            smooth_pos=state.smooth_pos.at[tgt].set(p),
-            normal=state.normal.at[tgt].set(state.normal[src]),
+            pos=state.pos.at[:, tgt].set(p),
+            smooth_pos=state.smooth_pos.at[:, tgt].set(p),
+            normal=state.normal.at[:, tgt].set(state.normal[:, src]),
             confidence=state.confidence.at[tgt].set(1.0),
             radius_sq=state.radius_sq.at[tgt].set(state.radius_sq[src]),
             creation_stamp=state.creation_stamp.at[tgt].set(0),
@@ -176,7 +177,7 @@ class TestMerge:
         # Merged surfel exports NaN position (kernels.cu:2420-2425).
         positions, _ = export_vertices(state)
         merged_idx = tgt if float(state.radius_sq[tgt]) < 0 else src
-        assert np.isnan(np.asarray(positions[merged_idx, 0]))
+        assert np.isnan(np.asarray(positions[0, merged_idx]))
 
 
 class TestRegularization:
@@ -191,8 +192,8 @@ class TestRegularization:
         for i in range(1, 6):
             state = run_frame(state, depth_noisy, normals, radius, color, i)
         count = int(state.surfel_count)
-        raw_spread = np.std(np.asarray(state.pos[:count, 2]))
-        smooth_spread = np.std(np.asarray(state.smooth_pos[:count, 2]))
+        raw_spread = np.std(np.asarray(state.pos[2, :count]))
+        smooth_spread = np.std(np.asarray(state.smooth_pos[2, :count]))
         assert smooth_spread < raw_spread
 
     def test_disable_denoising_copies_raw(self):
@@ -205,8 +206,8 @@ class TestRegularization:
         state = run_frame(state, depth, normals, radius, color, 0,
                           params=params)
         count = int(state.surfel_count)
-        np.testing.assert_allclose(np.asarray(state.smooth_pos[:count]),
-                                   np.asarray(state.pos[:count]))
+        np.testing.assert_allclose(np.asarray(state.smooth_pos[:, :count]),
+                                   np.asarray(state.pos[:, :count]))
 
 
 class TestEndToEndFusion:
@@ -243,14 +244,15 @@ class TestEndToEndFusion:
                 fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
             T_gl = seq.poses[i].matrix3x4().astype(np.float32)
             T_lg = seq.poses[i].inverse().matrix3x4().astype(np.float32)
+            color_pm = np.ascontiguousarray(color.transpose(2, 0, 1))
             state = integrate_frame(
-                state, d, normals, radius, jnp.asarray(color),
+                state, d, normals, radius, jnp.asarray(color_pm),
                 jnp.asarray(T_gl), jnp.asarray(T_lg), jnp.int32(i), params)
 
         count = int(state.surfel_count)
         assert count > 100
         smooth, radius_sq, normal, stamps, _ = meshing_snapshot(state)
-        pts = np.asarray(smooth[:count])
+        pts = np.asarray(smooth[:, :count]).T
         alive = np.asarray(radius_sq[:count]) >= 0
         pts = pts[alive]
         # Scene distance: min over wall plane z=2.5, floor y=0.8, sphere.

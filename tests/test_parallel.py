@@ -29,9 +29,9 @@ def test_batched_step_runs_on_mesh():
     # Vary depth per sequence so the shards diverge.
     for i in range(s):
         depth[i] += 500 * i
-    normals = np.zeros((s, H, W, 2), np.float32)
+    normals = np.zeros((s, 2, H, W), np.float32)
     radius = np.full((s, H, W), 0.01, np.float32)
-    color = np.full((s, H, W, 3), 100, np.uint8)
+    color = np.full((s, 3, H, W), 100, np.uint8)
     ident = np.tile(np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
                              np.float32), (s, 1, 1))
 
@@ -45,8 +45,8 @@ def test_batched_step_runs_on_mesh():
     assert np.all(counts == (H - 2) * (W - 2))
     assert int(total) == s * (H - 2) * (W - 2)
     # Surfel depths differ per sequence (shards actually computed separately).
-    z0 = float(state.pos[0, 0, 2])
-    z7 = float(state.pos[7, 0, 2])
+    z0 = float(state.pos[0, 2, 0])
+    z7 = float(state.pos[7, 2, 0])
     assert abs((z0 + 0.1 * 7) - z7) < 0.2 and z0 != z7
 
     # Second step: supports, no duplicate explosion.

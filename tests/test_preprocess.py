@@ -113,7 +113,8 @@ class TestNormals:
         got_d, got_n = pp.compute_normals_and_drop_bad_pixels(
             depth, 85.0, 5000.0, FX, FY, CX, CY)
         want_d, want_n = normals_golden(depth, 85.0, 5000.0, FX, FY, CX, CY)
-        got_d, got_n = np.asarray(got_d), np.asarray(got_n)
+        got_d = np.asarray(got_d)
+        got_n = np.asarray(got_n).transpose(1, 2, 0)  # (2,H,W) -> (H,W,2)
         mismatch = (got_d != want_d).mean()
         assert mismatch < 0.01
         agree = (got_d == want_d) & (want_d != 0)
@@ -124,7 +125,7 @@ class TestNormals:
         depth = np.full((H, W), 10000, np.uint16)
         got_d, got_n = pp.compute_normals_and_drop_bad_pixels(
             depth, 85.0, 5000.0, FX, FY, CX, CY)
-        got_n = np.asarray(got_n)
+        got_n = np.asarray(got_n).transpose(1, 2, 0)
         interior = np.zeros((H, W), bool)
         interior[2:-2, 2:-2] = True
         assert np.abs(got_n[interior]).max() < 1e-5  # stored xy of (0,0,-1)
@@ -183,7 +184,7 @@ class TestFullChain:
         d = np.asarray(d)
         # A solid fraction of the wall must survive the full chain.
         assert (d != 0).mean() > 0.25
-        nrm = np.asarray(normals)
+        nrm = np.asarray(normals).transpose(1, 2, 0)
         rad = np.asarray(radii)
         valid = d != 0
         # Normals have unit-or-less xy magnitude, radii positive where valid.

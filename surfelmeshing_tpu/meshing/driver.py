@@ -157,8 +157,8 @@ class MeshingDriver:
 
         positions, colors = export_vertices(pipe.state)
         count = pipe.surfel_count()
-        positions = np.asarray(positions[:, :count]).T
-        colors = np.asarray(colors[:, :count]).T
+        positions = np.asarray(positions[:count])
+        colors = np.asarray(colors[:count])
         tris = self.engine.get_triangles().astype(np.int64)
 
         alive = ~np.isnan(positions[:, 0])

@@ -18,23 +18,21 @@ Design (TPU-first, not a translation):
   Blend, Integrate, UpdateNeighbors, CreateNewSurfels, Regularize — runs as a
   single XLA program with no host round-trips; surfel_count lives on device.
 
-Memory layout is **attribute-major**: vectors are stored as (3, N) / (4, N)
-arrays and all math is componentwise over (N,) slices.  On TPU the minor
-dimension is tiled to 128 lanes, so (N, 3) rows would waste ~42x HBM bandwidth
-on every gather/scatter; attribute-major gives perfectly tiled (N,) streams
-(the reference's surfel buffer is attribute-major for the same coalescing
-reason, kernels.cuh:39-41).
-
-Surfel attributes mirror kernels.cuh:49-78; u32-bit-cast stamps become plain
-int32 arrays, the color-alpha "neighbor detach request" flag becomes a bool
-array, and the gradient accumulators are transient values inside the jit.
+Memory layout: **one packed (N, PACK_WIDTH) f32 attribute matrix** (the
+reference keeps a (25, N) attribute buffer for the same coalescing reason,
+kernels.cuh:39-48).  TPU gathers cost ~1 pass per *index stream* regardless of
+row width (up to the 128-lane tile), so fetching a whole surfel row costs the
+same as fetching one scalar; packing collapses what would be dozens of scalar
+gathers per frame into a handful of row gathers.  Integer attributes ride in
+f32 lanes via bitcast; XLA lays the matrix out column-contiguous, so
+per-attribute column slices in elementwise phases are free.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,40 +49,97 @@ MERGE_RADIUS_DIFF_THRESHOLD_SQ = 1.2 ** 2    # kernels.cu:1959-1960
 MERGE_DISTANCE_FACTOR = 0.5 * 0.25 * 0.25    # kernels.cu:1971
 MERGE_COS_NORMAL_THRESHOLD = 0.93969         # 20 deg, kernels.cu:1981
 
+# Pack column indices (analog of kSurfelX.. in kernels.cuh:49-78).
+PX, PY, PZ = 0, 1, 2          # raw position
+SX, SY, SZ = 3, 4, 5          # smoothed position
+NX, NY, NZ = 6, 7, 8          # normal
+CONF = 9                      # confidence
+RAD = 10                      # squared radius (-1 == merged away)
+CR, CG, CB = 11, 12, 13       # color (0..255 in f32)
+CREATION = 14                 # creation stamp (i32 bitcast)
+STAMP = 15                    # last-update stamp (i32 bitcast)
+DETACH = 16                   # neighbor detach request flag (0.0 / 1.0)
+PACK_WIDTH = 17
+
+
+def _i32(col: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(col, jnp.int32)
+
+
+def _f32bits(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
 
 class SurfelState(NamedTuple):
-    """Fixed-capacity attribute-major surfel map; a pytree living in HBM."""
-    pos: jnp.ndarray            # (3, N) f32 raw position
-    smooth_pos: jnp.ndarray     # (3, N) f32 regularized position
-    normal: jnp.ndarray         # (3, N) f32
-    color: jnp.ndarray          # (3, N) u8
-    detach: jnp.ndarray         # (N,) bool: neighbor detach request flag
-    confidence: jnp.ndarray     # (N,) f32
-    radius_sq: jnp.ndarray      # (N,) f32 (-1 marks merged-away surfels)
-    creation_stamp: jnp.ndarray  # (N,) i32
-    last_update_stamp: jnp.ndarray  # (N,) i32
-    neighbors: jnp.ndarray      # (4, N) i32, INVALID_INDEX = none
+    """Fixed-capacity packed surfel map; a pytree living in HBM."""
+    pack: jnp.ndarray           # (N, PACK_WIDTH) f32
+    neighbors: jnp.ndarray      # (N, 4) i32, INVALID_INDEX = none
     surfel_count: jnp.ndarray   # () i32
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
 
 
 def create_surfel_state(capacity: int) -> SurfelState:
+    pack = np.zeros((capacity, PACK_WIDTH), np.float32)
+    pack[:, STAMP] = np.asarray(np.int32(-(2**30))).view(np.float32)
     return SurfelState(
-        pos=jnp.zeros((3, capacity), jnp.float32),
-        smooth_pos=jnp.zeros((3, capacity), jnp.float32),
-        normal=jnp.zeros((3, capacity), jnp.float32),
-        color=jnp.zeros((3, capacity), jnp.uint8),
-        detach=jnp.zeros((capacity,), bool),
-        confidence=jnp.zeros((capacity,), jnp.float32),
-        radius_sq=jnp.zeros((capacity,), jnp.float32),
-        creation_stamp=jnp.zeros((capacity,), jnp.int32),
-        last_update_stamp=jnp.full((capacity,), -(2**30), jnp.int32),
-        neighbors=jnp.full((4, capacity), INVALID_INDEX, jnp.int32),
+        pack=jnp.asarray(pack),
+        neighbors=jnp.full((capacity, 4), INVALID_INDEX, jnp.int32),
         surfel_count=jnp.zeros((), jnp.int32),
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
     )
+
+
+# -- convenience accessors (host/test side) ---------------------------------
+
+def positions(state: SurfelState) -> jnp.ndarray:
+    return state.pack[:, PX:PZ + 1]
+
+
+def smooth_positions(state: SurfelState) -> jnp.ndarray:
+    return state.pack[:, SX:SZ + 1]
+
+
+def normals(state: SurfelState) -> jnp.ndarray:
+    return state.pack[:, NX:NZ + 1]
+
+
+def confidences(state: SurfelState) -> jnp.ndarray:
+    return state.pack[:, CONF]
+
+
+def radii_sq(state: SurfelState) -> jnp.ndarray:
+    return state.pack[:, RAD]
+
+
+def colors_u8(state: SurfelState) -> jnp.ndarray:
+    return jnp.clip(state.pack[:, CR:CB + 1], 0, 255).astype(jnp.uint8)
+
+
+def creation_stamps(state: SurfelState) -> jnp.ndarray:
+    return _i32(state.pack[:, CREATION])
+
+
+def update_stamps(state: SurfelState) -> jnp.ndarray:
+    return _i32(state.pack[:, STAMP])
+
+
+def plant_surfel(state: SurfelState, index: int, pos, normal,
+                 confidence: float = 1.0, radius_sq: float = 1e-4,
+                 creation: int = 0, stamp: int = 0,
+                 smooth=None, color=(128, 128, 128)) -> SurfelState:
+    """Test helper: write one surfel's attributes into the pack."""
+    row = np.zeros(PACK_WIDTH, np.float32)
+    row[PX:PZ + 1] = pos
+    row[SX:SZ + 1] = pos if smooth is None else smooth
+    row[NX:NZ + 1] = normal
+    row[CONF] = confidence
+    row[RAD] = radius_sq
+    row[CR:CB + 1] = color
+    row[CREATION] = np.int32(creation).view(np.float32)
+    row[STAMP] = np.int32(stamp).view(np.float32)
+    return state._replace(pack=state.pack.at[index].set(jnp.asarray(row)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,57 +184,14 @@ class FusionParams:
 
 
 # ---------------------------------------------------------------------------
-# Componentwise vec3 helpers: a "vec" is a tuple of three (N,) arrays.
+# Small helpers.
 # ---------------------------------------------------------------------------
 
-def _v(m: jnp.ndarray):
-    """(3, N) array -> tuple of 3 (N,) views."""
-    return (m[0], m[1], m[2])
-
-
-def _stack(v) -> jnp.ndarray:
-    return jnp.stack(v, axis=0)
-
-
-def _transform(T: jnp.ndarray, v):
-    """Apply (3,4) rigid transform rows to a componentwise vec."""
-    x, y, z = v
-    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z + T[0, 3],
-            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z + T[1, 3],
-            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z + T[2, 3])
-
-
-def _rotate(T: jnp.ndarray, v):
-    x, y, z = v
-    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z,
-            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z,
-            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z)
-
-
-def _dot(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-
-def _sub(a, b):
-    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
-
-
-def _gather(v, idx):
-    return (v[0][idx], v[1][idx], v[2][idx])
-
-
-def _where(c, a, b):
-    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
-            jnp.where(c, a[2], b[2]))
-
-
-def _project(params: FusionParams, local):
+def _project(params: FusionParams, x, y, z):
     """Project camera-space points -> (u, v, px, py, in_image).
 
     Pixel int via C-style truncation; the reference also rejects
-    pixel_pos < 0 before truncation (kernels.cu:1496-1500).
-    """
-    x, y, z = local
+    pixel_pos < 0 before truncation (kernels.cu:1496-1500)."""
     safe_z = jnp.where(z > 0, z, 1.0)
     u = params.fx * (x / safe_z) + params.cx
     v = params.fy * (y / safe_z) + params.cy
@@ -192,8 +204,7 @@ def _project(params: FusionParams, local):
 
 def _side_pixel(params: FusionParams, u, v, px, py):
     """Second association pixel from the sub-pixel position: the neighbor
-    toward which the surfel leans within its pixel (kernels.cu:1506-1555).
-    Returns (sx, sy, valid)."""
+    toward which the surfel leans within its pixel (kernels.cu:1506-1555)."""
     x_frac = u - px.astype(jnp.float32)
     y_frac = v - py.astype(jnp.float32)
     bl = x_frac < y_frac              # bottom-left triangle half
@@ -213,30 +224,18 @@ def _side_pixel(params: FusionParams, u, v, px, py):
     return sx, sy, valid
 
 
-def _flat(params: FusionParams, px, py, valid):
-    """Flattened pixel index; INVALID (dropped by scatters) when masked."""
-    return jnp.where(valid, py * params.width + px, INVALID_INDEX)
+def _shift_flat(img_flat: jnp.ndarray, hw: int, shift: int) -> jnp.ndarray:
+    """img[i + shift] over a flattened image; out-of-range -> 0.
 
-
-def _unproject_image_flat(params: FusionParams, depth_m_flat: jnp.ndarray):
-    """(HW,) meters -> componentwise camera-space points at pixel centers."""
-    hw = depth_m_flat.shape[0]
-    fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
-    lin = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)[:, 0]
-    xs = (lin % params.width).astype(jnp.float32)
-    ys = (lin // params.width).astype(jnp.float32)
-    return (depth_m_flat * (fx_inv * xs + cx_inv),
-            depth_m_flat * (fy_inv * ys + cy_inv),
-            depth_m_flat)
-
-
-def _normal_flat(normals_xy: jnp.ndarray, hw: int):
-    """(2, H, W) stored normal -> componentwise (HW,) with
-    z = -sqrt(1 - x^2 - y^2) (kernels.cu:810-812)."""
-    nx = normals_xy[0].reshape(hw)
-    ny = normals_xy[1].reshape(hw)
-    nz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - nx * nx - ny * ny))
-    return (nx, ny, nz)
+    Adjacent-pixel access at +-1 / +-W is a regular stride: express it as a
+    pad+slice instead of a gather."""
+    if shift == 0:
+        return img_flat
+    if shift > 0:
+        return jnp.concatenate(
+            [img_flat[shift:], jnp.zeros((shift,), img_flat.dtype)])
+    return jnp.concatenate(
+        [jnp.zeros((-shift,), img_flat.dtype), img_flat[:shift]])
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +256,7 @@ def integrate_frame(
 ) -> SurfelState:
     """One fusion step == CUDASurfelReconstruction::Integrate
     (cuda_surfel_reconstruction.cc:112-320)."""
-    n = state.pos.shape[1]
+    n = state.pack.shape[0]
     h, w = params.height, params.width
     hw = h * w
     noise = params.sensor_noise_factor
@@ -267,135 +266,149 @@ def integrate_frame(
         params.radius_factor_for_regularization_neighbors ** 2)
 
     frame_index = jnp.asarray(frame_index, jnp.int32)
+    pack = state.pack
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     in_count = idx < state.surfel_count
-    active = in_count & (state.last_update_stamp >
-                         frame_index - params.active_window)
+    stamps = _i32(pack[:, STAMP])
+    active = in_count & (stamps > frame_index - params.active_window)
 
     # Shared per-surfel projection of the *raw* position (kernels.cu:1481-1493).
-    pos_v = _v(state.pos)
-    local_pos = _transform(local_T_global, pos_v)
-    z = local_pos[2]
-    u, v, px, py, in_image = _project(params, local_pos)
+    Tl = local_T_global
+    ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
+    lx = Tl[0, 0] * ox + Tl[0, 1] * oy + Tl[0, 2] * oz + Tl[0, 3]
+    ly = Tl[1, 0] * ox + Tl[1, 1] * oy + Tl[1, 2] * oz + Tl[1, 3]
+    z = Tl[2, 0] * ox + Tl[2, 1] * oy + Tl[2, 2] * oz + Tl[2, 3]
+    u, v, px, py, in_image = _project(params, lx, ly, z)
     sx, sy, side_ok = _side_pixel(params, u, v, px, py)
 
     proj_a = active & in_image
-    pix_a = _flat(params, px, py, proj_a)
+    pix_a = jnp.where(proj_a, py * w + px, INVALID_INDEX)
     proj_b = proj_a & side_ok
-    pix_b = _flat(params, sx, sy, proj_b)
+    pix_b = jnp.where(proj_b, sy * w + sx, INVALID_INDEX)
+    pix_a_c = jnp.clip(pix_a, 0, hw - 1)
+    pix_b_c = jnp.clip(pix_b, 0, hw - 1)
 
     def _dbg_return(*live):
-        # Keep `live` values observable so XLA cannot dead-code-eliminate the
-        # phases under test (used only with params.debug_stop_after).
-        probe = sum(jnp.sum(jnp.ravel(v)[:1].astype(jnp.float32))
-                    for v in live)
+        probe = sum(jnp.sum(jnp.ravel(t)[:1].astype(jnp.float32))
+                    for t in live)
         return state._replace(
             merge_count=state.merge_count + probe.astype(jnp.int32))
 
     # --- Phase 1: RenderMinDepth (kernels.cu:1458-1557) -------------------
+    # One concatenated scatter stream for both candidate pixels.
     first_depth = jnp.full((hw,), jnp.inf, jnp.float32)
-    first_depth = first_depth.at[pix_a].min(z, mode="drop")
-    first_depth = first_depth.at[pix_b].min(z, mode="drop")
+    first_depth = first_depth.at[
+        jnp.concatenate([pix_a, pix_b])].min(
+        jnp.concatenate([z, z]), mode="drop")
     if params.debug_stop_after <= 1:
         return _dbg_return(first_depth)
 
     # --- Phase 2: Associate (kernels.cu:1586-1854) ------------------------
     depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
-    normals_img = _normal_flat(normals_xy, hw)
+    mnx = normals_xy[0].reshape(hw)
+    mny = normals_xy[1].reshape(hw)
+    mnz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - mnx * mnx - mny * mny))
     radius_flat = radius_img.reshape(hw)
 
-    normal_v = _v(state.normal)
-    local_normal = _rotate(local_T_global, normal_v)
-    surfel_dist = jnp.sqrt(_dot(local_pos, local_pos))
-    facing_ok = (_dot(local_pos, local_normal) /
+    # Pre-blend image pack: cols = depth_m, first_depth, mnx, mny, mnz, radius.
+    img_pre = jnp.stack(
+        [depth_m_flat, first_depth, mnx, mny, mnz, radius_flat], axis=1)
+
+    snx = Tl[0, 0] * pack[:, NX] + Tl[0, 1] * pack[:, NY] + \
+        Tl[0, 2] * pack[:, NZ]
+    sny = Tl[1, 0] * pack[:, NX] + Tl[1, 1] * pack[:, NY] + \
+        Tl[1, 2] * pack[:, NZ]
+    snz = Tl[2, 0] * pack[:, NX] + Tl[2, 1] * pack[:, NY] + \
+        Tl[2, 2] * pack[:, NZ]
+    surfel_dist = jnp.sqrt(lx * lx + ly * ly + z * z)
+    facing_ok = ((lx * snx + ly * sny + z * snz) /
                  jnp.maximum(surfel_dist, 1e-30)) <= \
         SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD
 
-    def associate_checks(pix, on):
-        """Common per-candidate-pixel tests; returns (on, conflicting, meas)."""
-        pixc = jnp.clip(pix, 0, hw - 1)
-        meas = depth_m_flat[pixc]
+    rows_pre_a = img_pre[pix_a_c]          # one row-gather per stream
+    rows_pre_b = img_pre[pix_b_c]
+
+    def associate_checks(rows, on):
+        """Common per-candidate-pixel tests on gathered image rows."""
+        meas = rows[:, 0]
         on = on & (meas > 0)
-        first = first_depth[pixc]
+        first = rows[:, 1]
         conflict_zone = first < (1.0 - noise) * meas
         is_conflicting = on & conflict_zone & (first == z)
         on = on & ~conflict_zone
-        occluded = z > (1.0 + noise) * meas
-        on = on & ~occluded
+        on = on & ~(z > (1.0 + noise) * meas)
         on = on & facing_ok
         # Normal compatibility when the measurement is in front
         # (kernels.cu:1653-1668); the measurement normal is in camera space.
-        meas_normal = _gather(normals_img, pixc)
         compat_needed = meas < z
-        compat = _dot(local_normal, meas_normal) >= cos_compat
+        compat = (snx * rows[:, 2] + sny * rows[:, 3] + snz * rows[:, 4]) \
+            >= cos_compat
         on = on & (~compat_needed | compat)
-        return on, is_conflicting, meas
+        return on, is_conflicting
 
-    support_a, conflict_a, _ = associate_checks(pix_a, proj_a)
-    support_b, conflict_b, _ = associate_checks(pix_b, proj_b)
-    support_a = support_a & (state.radius_sq > 0)   # <= 0 rejected (cu:1673-1676)
-    support_b = support_b & (state.radius_sq > 0)
+    radius_col = pack[:, RAD]
+    support_a, conflict_a = associate_checks(rows_pre_a, proj_a)
+    support_b, conflict_b = associate_checks(rows_pre_b, proj_b)
+    support_a = support_a & (radius_col > 0)   # <= 0 rejected (cu:1673-1676)
+    support_b = support_b & (radius_col > 0)
+
+    # --- Phase 3 (part 1): merge checks that feed the conflict map --------
+    # The merge pass runs over all surfels with radius >= 0, not only the
+    # active window, and also marks conflicts (kernels.cu:1881-1890).
+    merge_on = in_count & (radius_col >= 0) & in_image
+    m_on, m_conflict = associate_checks(rows_pre_a, merge_on)
 
     conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-    conflicting_surfels = conflicting_surfels.at[
-        jnp.where(conflict_a, pix_a, INVALID_INDEX)].min(idx, mode="drop")
-    conflicting_surfels = conflicting_surfels.at[
-        jnp.where(conflict_b, pix_b, INVALID_INDEX)].min(idx, mode="drop")
+    conflicting_surfels = conflicting_surfels.at[jnp.concatenate([
+        jnp.where(conflict_a, pix_a, INVALID_INDEX),
+        jnp.where(conflict_b, pix_b, INVALID_INDEX),
+        jnp.where(m_conflict, pix_a, INVALID_INDEX)])].min(
+        jnp.concatenate([idx, idx, idx]), mode="drop")
 
     supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-    supporting_surfels = supporting_surfels.at[
-        jnp.where(support_a, pix_a, INVALID_INDEX)].min(idx, mode="drop")
-    supporting_surfels = supporting_surfels.at[
-        jnp.where(support_b, pix_b, INVALID_INDEX)].min(idx, mode="drop")
+    supporting_surfels = supporting_surfels.at[jnp.concatenate([
+        jnp.where(support_a, pix_a, INVALID_INDEX),
+        jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
+        jnp.concatenate([idx, idx]), mode="drop")
 
-    support_counts = jnp.zeros((hw,), jnp.int32)
-    support_counts = support_counts.at[
-        jnp.where(support_a, pix_a, INVALID_INDEX)].add(1, mode="drop")
-    support_counts = support_counts.at[
-        jnp.where(support_b, pix_b, INVALID_INDEX)].add(1, mode="drop")
-
-    support_depth_sums = jnp.zeros((hw,), jnp.float32)
-    support_depth_sums = support_depth_sums.at[
-        jnp.where(support_a, pix_a, INVALID_INDEX)].add(z, mode="drop")
-    support_depth_sums = support_depth_sums.at[
-        jnp.where(support_b, pix_b, INVALID_INDEX)].add(z, mode="drop")
+    ab_pix = jnp.concatenate([jnp.where(support_a, pix_a, INVALID_INDEX),
+                              jnp.where(support_b, pix_b, INVALID_INDEX)])
+    support_counts = jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
+        1, mode="drop")
+    support_depth_sums = jnp.zeros((hw,), jnp.float32).at[ab_pix].add(
+        jnp.concatenate([z, z]), mode="drop")
     if params.debug_stop_after <= 2:
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, conflicting_surfels)
 
-    # --- Phase 3: Merge (kernels.cu:1857-2096) ----------------------------
-    # Only the main pixel participates; a surfel tombstones itself when the
-    # pixel's supported surfel is a different, very similar surfel.  The merge
-    # pass also marks conflicts (kernels.cu:1881-1890) — it runs over all
-    # surfels with radius >= 0, not only the active window.
-    merge_on = in_count & (state.radius_sq >= 0) & in_image
-    m_on, m_conflict, _ = associate_checks(pix_a, merge_on)
-    conflicting_surfels = conflicting_surfels.at[
-        jnp.where(m_conflict, pix_a, INVALID_INDEX)].min(idx, mode="drop")
-    supported = supporting_surfels[jnp.clip(pix_a, 0, hw - 1)]
+    # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
+    supported = supporting_surfels[pix_a_c]
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
-    sup_idx = jnp.clip(supported, 0, n - 1)
-    other_radius = state.radius_sq[sup_idx]
-    radius_ratio = state.radius_sq / jnp.where(other_radius != 0,
-                                               other_radius, 1e-30)
+    sup_rows = pack[jnp.clip(supported, 0, n - 1)]   # one row-gather
+    other_radius = sup_rows[:, RAD]
+    radius_ratio = radius_col / jnp.where(other_radius != 0,
+                                          other_radius, 1e-30)
     m_on = m_on & (radius_ratio <= MERGE_RADIUS_DIFF_THRESHOLD_SQ) & \
         (radius_ratio >= 1.0 / MERGE_RADIUS_DIFF_THRESHOLD_SQ)
-    sup_pos = _gather(pos_v, sup_idx)
-    diff = _sub(pos_v, sup_pos)
-    dist_sq = _dot(diff, diff)
-    m_on = m_on & (dist_sq <= MERGE_DISTANCE_FACTOR *
-                   (state.radius_sq + other_radius))
-    sup_normal = _gather(normal_v, sup_idx)
-    m_on = m_on & (_dot(normal_v, sup_normal) >= MERGE_COS_NORMAL_THRESHOLD)
+    ddx = ox - sup_rows[:, PX]
+    ddy = oy - sup_rows[:, PY]
+    ddz = oz - sup_rows[:, PZ]
+    m_on = m_on & (ddx * ddx + ddy * ddy + ddz * ddz <=
+                   MERGE_DISTANCE_FACTOR * (radius_col + other_radius))
+    m_on = m_on & (pack[:, NX] * sup_rows[:, NX] +
+                   pack[:, NY] * sup_rows[:, NY] +
+                   pack[:, NZ] * sup_rows[:, NZ] >=
+                   MERGE_COS_NORMAL_THRESHOLD)
 
-    last_update_stamp = jnp.where(m_on, 0, state.last_update_stamp)
-    radius_sq = jnp.where(m_on, -1.0, state.radius_sq)
-    detach = state.detach | m_on
+    pack = pack.at[:, STAMP].set(
+        jnp.where(m_on, _f32bits(jnp.zeros((n,), jnp.int32)), pack[:, STAMP]))
+    pack = pack.at[:, RAD].set(jnp.where(m_on, -1.0, pack[:, RAD]))
+    pack = pack.at[:, DETACH].set(
+        jnp.maximum(pack[:, DETACH], m_on.astype(jnp.float32)))
     merge_count = state.merge_count + jnp.sum(m_on.astype(jnp.int32))
     if params.debug_stop_after <= 3:
-        return _dbg_return(last_update_stamp, radius_sq, detach,
-                           supporting_surfels, conflicting_surfels,
+        return _dbg_return(pack, supporting_surfels, conflicting_surfels,
                            first_depth, support_counts, support_depth_sums)
 
     # --- Phase 4: Measurement blending (kernels.cu:563-738, .cc:148-205) --
@@ -405,160 +418,171 @@ def integrate_frame(
             support_counts.reshape(h, w), support_depth_sums.reshape(h, w))
         depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
 
-    # Camera-space measurement data (post-blending).
-    points_local = _unproject_image_flat(params, depth_m_flat)
-    points_global = _transform(global_T_local, points_local)
-    normals_global = _rotate(global_T_local, normals_img)
-    color_flat = (color[0].reshape(hw), color[1].reshape(hw),
-                  color[2].reshape(hw))
+    # Camera-space measurement data (post-blending), as one image pack.
+    fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
+    lin = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)[:, 0]
+    xs_f = (lin % w).astype(jnp.float32)
+    ys_f = (lin // w).astype(jnp.float32)
+    plx = depth_m_flat * (fx_inv * xs_f + cx_inv)
+    ply = depth_m_flat * (fy_inv * ys_f + cy_inv)
+    plz = depth_m_flat
+    Tg = global_T_local
+    pgx = Tg[0, 0] * plx + Tg[0, 1] * ply + Tg[0, 2] * plz + Tg[0, 3]
+    pgy = Tg[1, 0] * plx + Tg[1, 1] * ply + Tg[1, 2] * plz + Tg[1, 3]
+    pgz = Tg[2, 0] * plx + Tg[2, 1] * ply + Tg[2, 2] * plz + Tg[2, 3]
+    ngx = Tg[0, 0] * mnx + Tg[0, 1] * mny + Tg[0, 2] * mnz
+    ngy = Tg[1, 0] * mnx + Tg[1, 1] * mny + Tg[1, 2] * mnz
+    ngz = Tg[2, 0] * mnx + Tg[2, 1] * mny + Tg[2, 2] * mnz
+    cr = color[0].reshape(hw).astype(jnp.float32)
+    cg = color[1].reshape(hw).astype(jnp.float32)
+    cb = color[2].reshape(hw).astype(jnp.float32)
+
+    # Post-blend image pack, also carrying the supporting-surfel index of the
+    # 4 adjacent pixels (regular shifts, not gathers) for phase 6.
+    sup_f = _f32bits(supporting_surfels)
+    img_post = jnp.stack([
+        depth_m_flat,                               # 0 meas (post-blend)
+        pgx, pgy, pgz,                              # 1-3 global point
+        ngx, ngy, ngz,                              # 4-6 global normal
+        cr, cg, cb,                                 # 7-9 color
+        support_counts.astype(jnp.float32),         # 10
+        _f32bits(conflicting_surfels),              # 11
+        radius_flat,                                # 12
+        mnx, mny, mnz,                              # 13-15 meas normal (cam)
+        _shift_flat(sup_f, hw, -1),                 # 16 supporting at x-1
+        _shift_flat(sup_f, hw, +1),                 # 17 supporting at x+1
+        _shift_flat(sup_f, hw, -w),                 # 18 supporting at y-1
+        _shift_flat(sup_f, hw, +w),                 # 19 supporting at y+1
+    ], axis=1)
     if params.debug_stop_after <= 4:
-        return _dbg_return(depth_m_flat, points_global[0], normals_global[0])
+        return _dbg_return(img_post)
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
-    attrs = dict(
-        pos=pos_v, smooth=_v(state.smooth_pos), normal=normal_v,
-        color=tuple(c.astype(jnp.float32) for c in _v(state.color)),
-        detach=detach, conf=state.confidence, radius=radius_sq,
-        creation=state.creation_stamp, stamp=last_update_stamp,
-        neighbors=state.neighbors,
-    )
-    base_on = active & in_image & (radius_sq >= 0)
+    rows_post_a = img_post[pix_a_c]
+    rows_post_b = img_post[pix_b_c]
 
-    def integrate_at(attrs, pix, on):
-        pixc = jnp.clip(pix, 0, hw - 1)
-        meas = depth_m_flat[pixc]
+    neighbors = state.neighbors
+    base_on = active & in_image & (pack[:, RAD] >= 0)
+
+    def integrate_at(pack, neighbors, rows, first, on):
+        meas = rows[:, 0]
         on = on & (meas > 0)
-        first = first_depth[pixc]
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z) & \
-            (conflicting_surfels[pixc] == idx)
+            (_i32(rows[:, 11]) == idx)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
-        g_pos = _gather(points_global, pixc)
-        g_normal = _gather(normals_global, pixc)
-        g_color = tuple(c[pixc].astype(jnp.float32) for c in color_flat)
-        g_radius = radius_flat[pixc]
-
         # Conflict handling (kernels.cu:816-868): confidence - 1; at zero the
         # surfel is re-initialized from the measurement and flags detach.
-        new_conf = attrs["conf"] - 1.0
+        conf0 = pack[:, CONF]
+        new_conf = conf0 - 1.0
         reinit = conflicting & (new_conf <= 0)
         dec = conflicting & ~reinit
 
-        a = dict(attrs)
-        a["pos"] = _where(reinit, g_pos, attrs["pos"])
-        a["smooth"] = _where(reinit, g_pos, attrs["smooth"])
-        a["normal"] = _where(reinit, g_normal, attrs["normal"])
-        a["color"] = _where(reinit, g_color, attrs["color"])
-        a["detach"] = jnp.where(reinit, True, attrs["detach"])
-        a["radius"] = jnp.where(reinit, g_radius, attrs["radius"])
-        a["neighbors"] = jnp.where(reinit[None, :], INVALID_INDEX,
-                                   attrs["neighbors"])
-        a["conf"] = jnp.where(reinit, 1.0,
-                              jnp.where(dec, new_conf, attrs["conf"]))
-        a["creation"] = jnp.where(reinit, frame_index, attrs["creation"])
-        a["stamp"] = jnp.where(reinit, frame_index, attrs["stamp"])
+        reinit_cols = {
+            PX: rows[:, 1], PY: rows[:, 2], PZ: rows[:, 3],
+            SX: rows[:, 1], SY: rows[:, 2], SZ: rows[:, 3],
+            NX: rows[:, 4], NY: rows[:, 5], NZ: rows[:, 6],
+            CR: rows[:, 7], CG: rows[:, 8], CB: rows[:, 9],
+            RAD: rows[:, 12], CONF: jnp.ones_like(conf0),
+            DETACH: jnp.ones_like(conf0),
+            CREATION: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
+            STAMP: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
+        }
+        cols = [pack[:, k] for k in range(PACK_WIDTH)]
+        for k, val in reinit_cols.items():
+            cols[k] = jnp.where(reinit, val, cols[k])
+        cols[CONF] = jnp.where(dec, new_conf, cols[CONF])
+        neighbors = jnp.where(reinit[:, None], INVALID_INDEX, neighbors)
 
-        # Same-surface checks (kernels.cu:875-919).
-        local_srf_normal = _rotate(local_T_global, a["normal"])
-        dot_view = _dot(local_pos, local_srf_normal) / \
+        # Same-surface checks (kernels.cu:875-919) with (possibly reinit'd)
+        # attributes.
+        nx_, ny_, nz_ = cols[NX], cols[NY], cols[NZ]
+        lsnx = Tl[0, 0] * nx_ + Tl[0, 1] * ny_ + Tl[0, 2] * nz_
+        lsny = Tl[1, 0] * nx_ + Tl[1, 1] * ny_ + Tl[1, 2] * nz_
+        lsnz = Tl[2, 0] * nx_ + Tl[2, 1] * ny_ + Tl[2, 2] * nz_
+        dot_view = (lx * lsnx + ly * lsny + z * lsnz) / \
             jnp.maximum(surfel_dist, 1e-30)
         on = on & (dot_view <= SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
         compat_needed = meas < z
-        local_meas_normal = _gather(normals_img, pixc)
-        compat = _dot(local_srf_normal, local_meas_normal) >= cos_compat
+        compat = (lsnx * rows[:, 13] + lsny * rows[:, 14] +
+                  lsnz * rows[:, 15]) >= cos_compat
         on = on & (~compat_needed | compat)
-        on = on & (a["radius"] >= 0)
+        on = on & (cols[RAD] >= 0)
         # Surfels replaced this frame are not updated (kernels.cu:937-940).
-        on = on & (a["creation"] < frame_index)
+        on = on & (_i32(cols[CREATION]) < frame_index)
 
-        weight = 1.0 / jnp.maximum(
-            1, support_counts[pixc]).astype(jnp.float32)
-        conf = a["conf"]
+        weight = 1.0 / jnp.maximum(1.0, rows[:, 10])
+        conf = cols[CONF]
         norm_factor = 1.0 / (conf + weight)
 
-        new_conf2 = jnp.minimum(conf + weight, params.max_surfel_confidence)
-        a["conf"] = jnp.where(on, new_conf2, a["conf"])
-        blended = tuple((conf * p + weight * g) * norm_factor
-                        for p, g in zip(a["pos"], g_pos))
-        a["pos"] = _where(on, blended, a["pos"])
-        nrm = tuple(conf * s + weight * g
-                    for s, g in zip(a["normal"], g_normal))
-        nrm_len = jnp.maximum(jnp.sqrt(_dot(nrm, nrm)), 1e-30)
-        nrm = tuple(c / nrm_len for c in nrm)
-        a["normal"] = _where(on, nrm, a["normal"])
-        a["radius"] = jnp.where(on, jnp.minimum(a["radius"], g_radius),
-                                a["radius"])
-        # u8 color blend with +0.5 truncation (kernels.cu:962-967);
-        # the update also clears the detach flag.
-        new_color = tuple(jnp.floor((conf * c + weight * g) * norm_factor
-                                    + 0.5)
-                          for c, g in zip(a["color"], g_color))
-        a["color"] = _where(on, new_color, a["color"])
-        a["detach"] = jnp.where(on, False, a["detach"])
-        a["stamp"] = jnp.where(on, frame_index, a["stamp"])
-        return a
+        cols[CONF] = jnp.where(
+            on, jnp.minimum(conf + weight, params.max_surfel_confidence),
+            cols[CONF])
+        for k, g in ((PX, rows[:, 1]), (PY, rows[:, 2]), (PZ, rows[:, 3])):
+            cols[k] = jnp.where(on, (conf * cols[k] + weight * g) *
+                                norm_factor, cols[k])
+        bnx = conf * cols[NX] + weight * rows[:, 4]
+        bny = conf * cols[NY] + weight * rows[:, 5]
+        bnz = conf * cols[NZ] + weight * rows[:, 6]
+        bl = jnp.maximum(jnp.sqrt(bnx * bnx + bny * bny + bnz * bnz), 1e-30)
+        cols[NX] = jnp.where(on, bnx / bl, cols[NX])
+        cols[NY] = jnp.where(on, bny / bl, cols[NY])
+        cols[NZ] = jnp.where(on, bnz / bl, cols[NZ])
+        cols[RAD] = jnp.where(on, jnp.minimum(cols[RAD], rows[:, 12]),
+                              cols[RAD])
+        # u8 color blend with +0.5 truncation (kernels.cu:962-967); the
+        # update also clears the detach flag.
+        for k, g in ((CR, rows[:, 7]), (CG, rows[:, 8]), (CB, rows[:, 9])):
+            cols[k] = jnp.where(
+                on, jnp.floor((conf * cols[k] + weight * g) * norm_factor
+                              + 0.5), cols[k])
+        cols[DETACH] = jnp.where(on, 0.0, cols[DETACH])
+        cols[STAMP] = jnp.where(
+            on, _f32bits(jnp.broadcast_to(frame_index, conf.shape)),
+            cols[STAMP])
+        return jnp.stack(cols, axis=1), neighbors
 
-    attrs = integrate_at(attrs, pix_a, base_on)
-    attrs = integrate_at(attrs, pix_b, base_on & side_ok)
-
-    pos_v = attrs["pos"]
-    smooth_v = attrs["smooth"]
-    normal_v = attrs["normal"]
-    color_v = tuple(jnp.clip(c, 0, 255).astype(jnp.uint8)
-                    for c in attrs["color"])
-    detach = attrs["detach"]
-    confidence = attrs["conf"]
-    radius_sq = attrs["radius"]
-    creation_stamp = attrs["creation"]
-    last_update_stamp = attrs["stamp"]
-    neighbors = attrs["neighbors"]
+    first_a = rows_pre_a[:, 1]
+    first_b = rows_pre_b[:, 1]
+    pack, neighbors = integrate_at(pack, neighbors, rows_post_a, first_a,
+                                   base_on)
+    pack, neighbors = integrate_at(pack, neighbors, rows_post_b, first_b,
+                                   base_on & side_ok)
     if params.debug_stop_after <= 5:
-        return _dbg_return(pos_v[0], smooth_v[0], normal_v[0], color_v[0],
-                           confidence, radius_sq, last_update_stamp,
-                           neighbors)
+        return _dbg_return(pack, neighbors)
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
     neighbors = _update_neighbors(
-        params, idx, active, local_pos, z, px, py,
-        pos_v, normal_v, radius_sq, detach,
-        neighbors, depth_m_flat, radius_flat,
-        supporting_surfels, local_T_global)
+        params, idx, active, lx, ly, z, px, py, pack, neighbors,
+        rows_post_a, Tl)
     if params.debug_stop_after <= 6:
-        return _dbg_return(neighbors, pos_v[0], smooth_v[0])
+        return _dbg_return(neighbors, pack)
 
     # --- Phase 7: New surfel creation (kernels.cu:90-271, .cc:37-146) -----
-    (pos_v, smooth_v, normal_v, color_v, detach, confidence, radius_sq,
-     creation_stamp, last_update_stamp, neighbors, surfel_count,
-     overflow_count) = _create_new_surfels(
+    (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
         params, depth, radius_flat, supporting_surfels, conflicting_surfels,
-        points_global, normals_global, color_flat, depth_m_flat,
-        pos_v, smooth_v, normal_v, color_v, detach, confidence, radius_sq,
-        creation_stamp, last_update_stamp, neighbors,
+        img_post, depth_m_flat, pack, neighbors,
         state.surfel_count, state.overflow_count, frame_index)
     if params.debug_stop_after <= 7:
-        return _dbg_return(pos_v[0], smooth_v[0], normal_v[0], color_v[0],
-                           confidence, radius_sq, neighbors,
-                           surfel_count[None], overflow_count[None])
+        return _dbg_return(pack, neighbors, surfel_count[None],
+                           overflow_count[None])
 
     # --- Phase 8: Regularization (kernels.cu:2099-2410) -------------------
     if params.regularization_iterations == 0:
-        recent = last_update_stamp >= \
+        recent = _i32(pack[:, STAMP]) >= \
             frame_index - params.regularization_frame_window_size
-        smooth_v = _where(recent, pos_v, smooth_v)
+        for s, p in ((SX, PX), (SY, PY), (SZ, PZ)):
+            pack = pack.at[:, s].set(
+                jnp.where(recent, pack[:, p], pack[:, s]))
     else:
         for _ in range(params.regularization_iterations):
-            smooth_v, neighbors = _regularize(
-                params, idx, pos_v, smooth_v, normal_v, radius_sq,
-                last_update_stamp, neighbors, frame_index)
+            pack, neighbors = _regularize(params, pack, neighbors,
+                                          frame_index)
 
     return SurfelState(
-        pos=_stack(pos_v), smooth_pos=_stack(smooth_v),
-        normal=_stack(normal_v), color=_stack(color_v),
-        detach=detach, confidence=confidence, radius_sq=radius_sq,
-        creation_stamp=creation_stamp, last_update_stamp=last_update_stamp,
-        neighbors=neighbors, surfel_count=surfel_count,
+        pack=pack, neighbors=neighbors, surfel_count=surfel_count,
         merge_count=merge_count, overflow_count=overflow_count)
 
 
@@ -653,95 +677,93 @@ def _blend_measurements(params, depth, supporting_surfels, counts, sums):
     return jnp.clip(jnp.floor(depth_f), 0, 65535).astype(jnp.uint16)
 
 
-def _update_neighbors(params, idx, active, local_pos, z, px, py,
-                      pos_v, normal_v, radius_sq, detach,
-                      neighbors, depth_m_flat, radius_flat,
-                      supporting_surfels, local_T_global):
+def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
+                      neighbors, rows_post_a, Tl):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
-    of the 4 adjacent pixels (kernels.cu:1197-1455)."""
-    n = radius_sq.shape[0]
+    of the 4 adjacent pixels (kernels.cu:1197-1455).
+
+    The adjacent supporting-surfel indices ride in the phase-5 image rows
+    (cols 16-19), so this phase needs only the candidate/slot row gathers.
+    """
+    n = pack.shape[0]
     h, w = params.height, params.width
-    hw = h * w
     noise = params.sensor_noise_factor
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
+    radius_col = pack[:, RAD]
 
     border_ok = (px >= 1) & (py >= 1) & (px < w - 1) & (py < h - 1) & (z > 0)
     on = active & border_ok
-    pixc = jnp.clip(jnp.where(on, py * w + px, 0), 0, hw - 1)
-    meas = depth_m_flat[pixc]
+    meas = rows_post_a[:, 0]
     on = on & ~(z > (1.0 + noise) * meas)     # zero meas occludes everything
-    local_normal = _rotate(local_T_global, normal_v)
-    sdist = jnp.sqrt(_dot(local_pos, local_pos))
-    on = on & ((_dot(local_pos, local_normal) /
-                jnp.maximum(sdist, 1e-30)) <=
+    nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
+    lsnx = Tl[0, 0] * nx_ + Tl[0, 1] * ny_ + Tl[0, 2] * nz_
+    lsny = Tl[1, 0] * nx_ + Tl[1, 1] * ny_ + Tl[1, 2] * nz_
+    lsnz = Tl[2, 0] * nx_ + Tl[2, 1] * ny_ + Tl[2, 2] * nz_
+    sdist = jnp.sqrt(lx * lx + ly * ly + z * z)
+    on = on & ((lx * lsnx + ly * lsny + z * lsnz) /
+               jnp.maximum(sdist, 1e-30) <=
                SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
-    on = on & (radius_sq >= 0)
+    on = on & (radius_col >= 0)
     if CHECK_SCALE_COMPAT_NEIGHBORS:
-        obs_radius = radius_flat[pixc]
-        on = on & (obs_radius / jnp.where(radius_sq != 0, radius_sq, 1e-30)
+        on = on & (rows_post_a[:, 12] /
+                   jnp.where(radius_col != 0, radius_col, 1e-30)
                    <= MAX_OBSERVATION_RADIUS_FACTOR ** 2)
 
-    # Existing neighbor slots with squared distances (raw positions),
-    # kept as 4 separate (N,) lanes.
-    slot_idx = [neighbors[k] for k in range(4)]
-    slot_dist = []
-    for k in range(4):
-        valid_k = slot_idx[k] != INVALID_INDEX
-        clip_k = jnp.clip(slot_idx[k], 0, n - 1)
-        d = _sub(pos_v, _gather(pos_v, clip_k))
-        slot_dist.append(jnp.where(valid_k, _dot(d, d), jnp.inf))
+    ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
 
-    for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        cand_pix = jnp.clip(pixc + dy * w + dx, 0, hw - 1)
-        cand = supporting_surfels[cand_pix]
+    # Existing slots: one row gather for distances (and reuse for detach).
+    slot_idx = neighbors                                  # (N, 4)
+    slot_rows = pack[jnp.clip(slot_idx, 0, n - 1)]        # (N, 4, PACK)
+    slot_valid = slot_idx != INVALID_INDEX
+    sdx = slot_rows[..., PX] - ox[:, None]
+    sdy = slot_rows[..., PY] - oy[:, None]
+    sdz = slot_rows[..., PZ] - oz[:, None]
+    slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
+                          jnp.inf)
+
+    for direction in range(4):
+        cand = _i32(rows_post_a[:, 16 + direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
-        cand_clip = jnp.clip(cand, 0, n - 1)
-        cd = _sub(_gather(pos_v, cand_clip), pos_v)
-        c_dist = _dot(cd, cd)
-        c_ok = c_ok & (c_dist <= reg_factor_sq * radius_sq)
-        c_ok = c_ok & (_dot(normal_v, _gather(normal_v, cand_clip)) > 0)
+        cand_rows = pack[jnp.clip(cand, 0, n - 1)]        # one row gather
+        cdx = cand_rows[:, PX] - ox
+        cdy = cand_rows[:, PY] - oy
+        cdz = cand_rows[:, PZ] - oz
+        c_dist = cdx * cdx + cdy * cdy + cdz * cdz
+        c_ok = c_ok & (c_dist <= reg_factor_sq * radius_col)
+        c_ok = c_ok & (nx_ * cand_rows[:, NX] + ny_ * cand_rows[:, NY] +
+                       nz_ * cand_rows[:, NZ] > 0)
 
-        already = (slot_idx[0] == cand)
-        for k in range(1, 4):
-            already = already | (slot_idx[k] == cand)
+        already = jnp.any(slot_idx == cand[:, None], axis=-1)
         c_ok = c_ok & ~already
 
-        # Replace the farthest slot if the candidate is closer (first max
-        # wins, like the reference's strict > scan, kernels.cu:1353-1369).
-        best = jnp.zeros_like(idx)
-        best_dist = slot_dist[0]
-        for k in range(1, 4):
-            better = slot_dist[k] > best_dist
-            best = jnp.where(better, k, best)
-            best_dist = jnp.where(better, slot_dist[k], best_dist)
+        best = jnp.argmax(slot_dist, axis=-1)
+        best_dist = jnp.take_along_axis(slot_dist, best[:, None],
+                                        axis=-1)[:, 0]
         c_ok = c_ok & (c_dist < best_dist)
-        for k in range(4):
-            hit = c_ok & (best == k)
-            slot_idx[k] = jnp.where(hit, cand, slot_idx[k])
-            slot_dist[k] = jnp.where(hit, c_dist, slot_dist[k])
+        onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
+        slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
+        slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
 
     # Drop neighbors whose surfel has the detach flag set
-    # (kernels.cu:1420-1437); applies to every surfel, not only active ones.
-    for k in range(4):
-        clip_k = jnp.clip(slot_idx[k], 0, n - 1)
-        slot_detach = detach[clip_k] & (slot_idx[k] != INVALID_INDEX)
-        slot_idx[k] = jnp.where(slot_detach, INVALID_INDEX, slot_idx[k])
-    return jnp.stack(slot_idx, axis=0)
+    # (kernels.cu:1420-1437); fresh row gather since slots changed.
+    final_rows = pack[jnp.clip(slot_idx, 0, n - 1)]
+    slot_detach = (final_rows[..., DETACH] > 0) & (slot_idx != INVALID_INDEX)
+    return jnp.where(slot_detach, INVALID_INDEX, slot_idx)
 
 
 def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
-                        conflicting_surfels, points_global, normals_global,
-                        color_flat, depth_m_flat,
-                        pos_v, smooth_v, normal_v, color_v, detach, confidence,
-                        radius_sq, creation_stamp, last_update_stamp,
-                        neighbors, surfel_count, overflow_count, frame_index):
+                        conflicting_surfels, img_post, depth_m_flat,
+                        pack, neighbors, surfel_count, overflow_count,
+                        frame_index):
     """Append a surfel for every unexplained valid depth pixel
     (kernels.cu:90-271); index compaction via cumsum replaces CUB's
-    DeviceScan::ExclusiveSum (kernels.cc:94-113)."""
+    DeviceScan::ExclusiveSum (kernels.cc:94-113).  All adjacent-pixel access
+    is regular (+-1, +-W): expressed as shifts, not gathers; the only gathers
+    are the 4 supporting-surfel row fetches for neighbor initialization."""
     h, w = depth.shape
     hw = h * w
-    n = radius_sq.shape[0]
+    n = pack.shape[0]
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
 
@@ -760,73 +782,75 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     fits = flags_flat & (dest < n)
     dest_idx = jnp.where(fits, dest, INVALID_INDEX)
 
-    # Initial neighbors from the 4 adjacent pixels (kernels.cu:189-224):
-    # an adjacent supporting surfel within range, else the adjacent pixel's
-    # new surfel (depth-difference proximity test).
+    pgx, pgy, pgz = img_post[:, 1], img_post[:, 2], img_post[:, 3]
+
+    # Initial neighbors from the 4 adjacent pixels (kernels.cu:189-224).
     nbr_slots = []
-    exist_sum = (jnp.zeros((hw,), jnp.float32),) * 3
-    exist_sum = list(exist_sum)
+    exist_sum = [jnp.zeros((hw,), jnp.float32) for _ in range(3)]
     exist_cnt = jnp.ones((hw,), jnp.float32)  # count + 1
-    for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        adj = jnp.clip(lin + dy * w + dx, 0, hw - 1)
-        sup = supporting_surfels[adj]
+    shifts = (-1, +1, -w, +w)
+    flags_f = flags_flat.astype(jnp.float32)
+    prefix_f = prefix.astype(jnp.float32)
+    for k, shift in enumerate(shifts):
+        sup = _i32(img_post[:, 16 + k])       # supporting at that adjacency
         has_sup = sup != INVALID_INDEX
-        supc = jnp.clip(sup, 0, n - 1)
-        d = _sub(_gather(pos_v, supc), points_global)
-        d_sq = _dot(d, d)
-        in_range = d_sq <= reg_factor_sq * radius_flat
+        sup_rows = pack[jnp.clip(sup, 0, n - 1)]   # one row gather
+        dx = sup_rows[:, PX] - pgx
+        dy = sup_rows[:, PY] - pgy
+        dz = sup_rows[:, PZ] - pgz
+        in_range = dx * dx + dy * dy + dz * dz <= reg_factor_sq * radius_flat
         use_sup = has_sup & in_range
-        sup_smooth = _gather(smooth_v, supc)
-        for k in range(3):
-            exist_sum[k] = exist_sum[k] + jnp.where(use_sup,
-                                                    sup_smooth[k], 0.0)
+        exist_sum[0] += jnp.where(use_sup, sup_rows[:, SX], 0.0)
+        exist_sum[1] += jnp.where(use_sup, sup_rows[:, SY], 0.0)
+        exist_sum[2] += jnp.where(use_sup, sup_rows[:, SZ], 0.0)
         exist_cnt += use_sup.astype(jnp.float32)
 
-        adj_new = flags_flat[adj]
-        approx_sq = (depth_m_flat - depth_m_flat[adj]) ** 2
+        adj_new = _shift_flat(flags_f, hw, shift) > 0
+        adj_depth = _shift_flat(depth_m_flat, hw, shift)
+        adj_prefix = _shift_flat(prefix_f, hw, shift).astype(jnp.int32)
+        approx_sq = (depth_m_flat - adj_depth) ** 2
         use_new = (~has_sup) & adj_new & \
             (approx_sq <= reg_factor_sq * radius_flat)
-        adj_dest = surfel_count + prefix[adj]
+        adj_dest = surfel_count + adj_prefix
         slot = jnp.where(use_sup, sup,
                          jnp.where(use_new & (adj_dest < n), adj_dest,
                                    INVALID_INDEX))
         nbr_slots.append(slot)
-    new_smooth = tuple((points_global[k] + exist_sum[k]) / exist_cnt
-                       for k in range(3))
 
-    pos_out = []
-    smooth_out = []
-    normal_out = []
-    color_out = []
-    for k in range(3):
-        pos_out.append(pos_v[k].at[dest_idx].set(points_global[k],
-                                                 mode="drop"))
-        smooth_out.append(smooth_v[k].at[dest_idx].set(new_smooth[k],
-                                                       mode="drop"))
-        normal_out.append(normal_v[k].at[dest_idx].set(normals_global[k],
-                                                       mode="drop"))
-        color_out.append(color_v[k].at[dest_idx].set(color_flat[k],
-                                                     mode="drop"))
-    detach = detach.at[dest_idx].set(False, mode="drop")
-    confidence = confidence.at[dest_idx].set(1.0, mode="drop")
-    radius_sq = radius_sq.at[dest_idx].set(radius_flat, mode="drop")
-    creation_stamp = creation_stamp.at[dest_idx].set(frame_index, mode="drop")
-    last_update_stamp = last_update_stamp.at[dest_idx].set(
-        frame_index, mode="drop")
-    nbr_rows = [neighbors[k].at[dest_idx].set(nbr_slots[k], mode="drop")
-                for k in range(4)]
+    new_sx = (pgx + exist_sum[0]) / exist_cnt
+    new_sy = (pgy + exist_sum[1]) / exist_cnt
+    new_sz = (pgz + exist_sum[2]) / exist_cnt
+
+    ones = jnp.ones((hw,), jnp.float32)
+    frame_f = _f32bits(jnp.broadcast_to(frame_index, (hw,)))
+    new_rows_cols = [None] * PACK_WIDTH
+    new_rows_cols[PX], new_rows_cols[PY], new_rows_cols[PZ] = pgx, pgy, pgz
+    new_rows_cols[SX], new_rows_cols[SY], new_rows_cols[SZ] = \
+        new_sx, new_sy, new_sz
+    new_rows_cols[NX], new_rows_cols[NY], new_rows_cols[NZ] = \
+        img_post[:, 4], img_post[:, 5], img_post[:, 6]
+    new_rows_cols[CONF] = ones
+    new_rows_cols[RAD] = radius_flat
+    new_rows_cols[CR], new_rows_cols[CG], new_rows_cols[CB] = \
+        img_post[:, 7], img_post[:, 8], img_post[:, 9]
+    new_rows_cols[CREATION] = frame_f
+    new_rows_cols[STAMP] = frame_f
+    new_rows_cols[DETACH] = jnp.zeros((hw,), jnp.float32)
+    new_rows = jnp.stack(new_rows_cols, axis=1)             # (HW, PACK)
+
+    # Destination indices are unique by construction (prefix sums):
+    # one row scatter for the pack, one for the neighbor table.
+    pack = pack.at[dest_idx].set(new_rows, mode="drop", unique_indices=True)
+    neighbors = neighbors.at[dest_idx].set(
+        jnp.stack(nbr_slots, axis=1), mode="drop", unique_indices=True)
 
     created = jnp.minimum(total, jnp.maximum(n - surfel_count, 0))
     overflow_count = overflow_count + (total - created)
     surfel_count = surfel_count + created
-    return (tuple(pos_out), tuple(smooth_out), tuple(normal_out),
-            tuple(color_out), detach, confidence, radius_sq,
-            creation_stamp, last_update_stamp, jnp.stack(nbr_rows, axis=0),
-            surfel_count, overflow_count)
+    return pack, neighbors, surfel_count, overflow_count
 
 
-def _regularize(params, idx, pos_v, smooth_v, normal_v, radius_sq,
-                last_update_stamp, neighbors, frame_index):
+def _regularize(params, pack, neighbors, frame_index):
     """One gradient-descent denoising iteration (kernels.cu:2099-2308).
 
     Each surfel contributes plane-distance gradient terms to its recent
@@ -834,76 +858,71 @@ def _regularize(params, idx, pos_v, smooth_v, normal_v, radius_sq,
     recent surfel takes a step on its smoothed position with a data term
     toward the raw position, step length clamped to the surfel radius.
     """
-    n = radius_sq.shape[0]
+    n = pack.shape[0]
     w_reg = jnp.float32(params.regularizer_weight)
     window = params.regularization_frame_window_size
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
 
-    slot = [neighbors[k] for k in range(4)]
-    use = []
-    to_nbr = []
-    ndot = []
-    nbr_dist_sq = []
-    cnt = jnp.zeros((n,), jnp.float32)
-    for k in range(4):
-        valid_k = slot[k] != INVALID_INDEX
-        clip_k = jnp.clip(slot[k], 0, n - 1)
-        recent_k = last_update_stamp[clip_k] >= frame_index - window
-        u = valid_k & recent_k
-        use.append(u)
-        cnt += u.astype(jnp.float32)
-        d = _sub(_gather(smooth_v, clip_k), smooth_v)
-        to_nbr.append(d)
-        ndot.append(_dot(normal_v, d))
-        nbr_dist_sq.append(_dot(d, d))
+    sx, sy, sz = pack[:, SX], pack[:, SY], pack[:, SZ]
+    nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
+    stamps = _i32(pack[:, STAMP])
+
+    slot_valid = neighbors != INVALID_INDEX                  # (N, 4)
+    slot_rows = pack[jnp.clip(neighbors, 0, n - 1)]          # (N, 4, PACK)
+    slot_recent = _i32(slot_rows[..., STAMP]) >= frame_index - window
+    use = slot_valid & slot_recent
+    cnt = jnp.sum(use.astype(jnp.float32), axis=-1)
+
+    dx = slot_rows[..., SX] - sx[:, None]
+    dy = slot_rows[..., SY] - sy[:, None]
+    dz = slot_rows[..., SZ] - sz[:, None]
+    ndot = nx_[:, None] * dx + ny_[:, None] * dy + nz_[:, None] * dz
+    nbr_dist_sq = dx * dx + dy * dy + dz * dz
 
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
-    grad = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
-    gcount = jnp.zeros((n,), jnp.float32)
-    for k in range(4):
-        tgt = jnp.where(use[k], slot[k], INVALID_INDEX)
-        term_scale = factor * ndot[k]
-        for c in range(3):
-            grad[c] = grad[c].at[tgt].add(
-                jnp.where(use[k], term_scale * normal_v[c], 0.0),
-                mode="drop")
-        gcount = gcount.at[tgt].add(
-            jnp.where(use[k], w_reg / jnp.maximum(cnt, 1.0), 0.0),
-            mode="drop")
-        # Remove active neighbors that drifted out of range
-        # (kernels.cu:2184-2192).
-        drop = use[k] & (nbr_dist_sq[k] > reg_factor_sq * radius_sq)
-        slot[k] = jnp.where(drop, INVALID_INDEX, slot[k])
+    scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
+    term = factor[:, None] * ndot                            # (N, 4)
+    grad_x = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+        (term * nx_[:, None]).reshape(-1), mode="drop")
+    grad_y = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+        (term * ny_[:, None]).reshape(-1), mode="drop")
+    grad_z = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+        (term * nz_[:, None]).reshape(-1), mode="drop")
+    gcount = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+        jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
+                         use.shape).reshape(-1), mode="drop")
 
-    # Per-surfel step (kernels.cu:2197-2308) over the updated neighbor list.
-    recent = last_update_stamp >= frame_index - window
-    reg_grad = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
-    cnt2 = jnp.zeros((n,), jnp.float32)
-    for k in range(4):
-        valid_k = slot[k] != INVALID_INDEX
-        clip_k = jnp.clip(slot[k], 0, n - 1)
-        d = _sub(_gather(smooth_v, clip_k), smooth_v)
-        nd = _dot(normal_v, d)
-        for c in range(3):
-            reg_grad[c] = reg_grad[c] - jnp.where(valid_k, nd * normal_v[c],
-                                                  0.0)
-        cnt2 += valid_k.astype(jnp.float32)
+    # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
+    drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][:, None])
+    neighbors = jnp.where(drop, INVALID_INDEX, neighbors)
+
+    # Per-surfel step (kernels.cu:2197-2308) over the updated neighbor list;
+    # reuse the gathered rows (removal only invalidates, indices unchanged).
+    valid2 = neighbors != INVALID_INDEX
+    ndot2 = jnp.where(valid2, ndot, 0.0)
+    cnt2 = jnp.sum(valid2.astype(jnp.float32), axis=-1)
+    sum_ndot2 = jnp.sum(ndot2, axis=-1)
     factor2 = jnp.where(cnt2 > 0, 2.0 * w_reg / jnp.maximum(cnt2, 1.0), 0.0)
+    reg_x = -sum_ndot2 * nx_
+    reg_y = -sum_ndot2 * ny_
+    reg_z = -sum_ndot2 * nz_
 
-    gradient = tuple(2.0 * (smooth_v[c] - pos_v[c]) + grad[c] +
-                     factor2 * reg_grad[c] for c in range(3))
+    recent = stamps >= frame_index - window
+    gx = 2.0 * (sx - pack[:, PX]) + grad_x + factor2 * reg_x
+    gy = 2.0 * (sy - pack[:, PY]) + grad_y + factor2 * reg_y
+    gz = 2.0 * (sz - pack[:, PZ]) + grad_z + factor2 * reg_z
     weight_sum = 1.0 + w_reg + gcount
     step = 0.5 / weight_sum
-    max_step = jnp.sqrt(radius_sq)      # NaN for merged surfels, as in CUDA
-    grad_len = step * jnp.sqrt(_dot(gradient, gradient))
+    max_step = jnp.sqrt(pack[:, RAD])   # NaN for merged surfels, as in CUDA
+    grad_len = step * jnp.sqrt(gx * gx + gy * gy + gz * gz)
     step_factor = jnp.where(grad_len > max_step,
                             max_step / jnp.maximum(grad_len, 1e-30) * step,
                             step)
-    new_smooth = tuple(smooth_v[c] - step_factor * gradient[c]
-                       for c in range(3))
-    smooth_v = _where(recent, new_smooth, smooth_v)
-    return smooth_v, jnp.stack(slot, axis=0)
+    pack = pack.at[:, SX].set(jnp.where(recent, sx - step_factor * gx, sx))
+    pack = pack.at[:, SY].set(jnp.where(recent, sy - step_factor * gy, sy))
+    pack = pack.at[:, SZ].set(jnp.where(recent, sz - step_factor * gz, sz))
+    return pack, neighbors
 
 
 # ---------------------------------------------------------------------------
@@ -913,16 +932,19 @@ def _regularize(params, idx, pos_v, smooth_v, normal_v, radius_sq,
 @jax.jit
 def export_vertices(state: SurfelState):
     """ExportVerticesCUDA (kernels.cu:2412-2464): smoothed positions with NaN
-    for merged surfels, plus colors.  Returns ((3, N) f32, (3, N) u8)."""
-    merged = state.radius_sq < 0
-    positions = jnp.where(merged[None, :], jnp.nan, state.smooth_pos)
-    return positions, state.color
+    for merged surfels, plus colors.  Returns ((N, 3) f32, (N, 3) u8)."""
+    merged = state.pack[:, RAD] < 0
+    pos = jnp.where(merged[:, None], jnp.nan, state.pack[:, SX:SZ + 1])
+    col = jnp.clip(state.pack[:, CR:CB + 1], 0, 255).astype(jnp.uint8)
+    return pos, col
 
 
 @jax.jit
 def meshing_snapshot(state: SurfelState):
     """The SoA snapshot consumed by the meshing engine — same fields the
     reference downloads in TransferAllToCPU
-    (cuda_surfel_reconstruction.cc:339-359)."""
-    return (state.smooth_pos, state.radius_sq, state.normal,
-            state.last_update_stamp, state.surfel_count)
+    (cuda_surfel_reconstruction.cc:339-359).  Row-major (N, 3) slices, ready
+    for the host engine."""
+    return (state.pack[:, SX:SZ + 1], state.pack[:, RAD],
+            state.pack[:, NX:NZ + 1], _i32(state.pack[:, STAMP]),
+            state.surfel_count)

@@ -209,27 +209,24 @@ class ReconstructionPipeline:
         jax.block_until_ready(self.state)
 
     def snapshot(self):
-        """SoA snapshot for the meshing engine (TransferAllToCPU analog).
-        Device arrays are attribute-major (3, N); the host meshing engine
-        takes row-major (N, 3), so transpose on the host."""
+        """SoA snapshot for the meshing engine (TransferAllToCPU analog)."""
         smooth, radius_sq, normal, stamps, count = meshing_snapshot(self.state)
         count = int(count)
-        smooth = np.ascontiguousarray(np.asarray(smooth[:, :count]).T)
-        normal = np.ascontiguousarray(np.asarray(normal[:, :count]).T)
-        return (smooth, np.asarray(radius_sq[:count]), normal,
-                np.asarray(stamps[:count]), count)
+        return (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
+                np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
 
     def export_point_cloud(self, path: str) -> int:
         """Save the surfel cloud as PLY (SavePointCloudAsPLY, main.cc:179-203);
         merged surfels (radius < 0) are skipped."""
         from .io.mesh_io import write_ply
+        from .ops.fusion import normals as surfel_normals
         positions, colors = export_vertices(self.state)
         count = self.surfel_count()
-        positions = np.asarray(positions[:, :count]).T
-        colors = np.asarray(colors[:, :count]).T
-        normals = np.asarray(self.state.normal[:, :count]).T
+        positions = np.asarray(positions[:count])
+        colors = np.asarray(colors[:count])
+        nrm = np.asarray(surfel_normals(self.state)[:count])
         alive = ~np.isnan(positions[:, 0])
-        write_ply(path, positions[alive], colors[alive], normals[alive])
+        write_ply(path, positions[alive], colors[alive], nrm[alive])
         return int(alive.sum())
 
     def log_frame_timings(self, frame_index: int) -> None:

@@ -1,0 +1,55 @@
+"""Tests for the mesh-accuracy evaluation (ICL-NUIM-style protocol)."""
+
+import numpy as np
+
+from surfelmeshing_tpu.eval.mesh_accuracy import (AccuracyResult,
+                                                  evaluate_accuracy,
+                                                  load_obj_vertices_triangles,
+                                                  sample_mesh_surface)
+from surfelmeshing_tpu.io.mesh_io import write_obj
+
+
+def unit_square_mesh():
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float64)
+    t = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return v, t
+
+
+def test_surface_sampling_on_plane():
+    v, t = unit_square_mesh()
+    pts = sample_mesh_surface(v, t, max_samples=5000)
+    assert len(pts) == 5000
+    assert np.abs(pts[:, 2]).max() < 1e-12
+    assert pts[:, 0].min() >= 0 and pts[:, 0].max() <= 1
+
+
+def test_accuracy_perfect_and_offset():
+    v, t = unit_square_mesh()
+    gt = sample_mesh_surface(v, t, max_samples=20000)
+    rng = np.random.default_rng(0)
+    rec = rng.random((5000, 2))
+    rec3 = np.concatenate([rec, np.zeros((5000, 1))], axis=1)
+
+    res = evaluate_accuracy(rec3, gt)
+    assert res.mean < 0.02
+    assert res.completeness > 0.95
+
+    rec_off = rec3 + np.array([0, 0, 0.05])
+    res_off = evaluate_accuracy(rec_off, gt)
+    assert 0.04 < res_off.mean < 0.06
+    assert res_off.rms >= res_off.mean
+
+    # NaN (merged) points are excluded.
+    rec_nan = rec3.copy()
+    rec_nan[:100, 0] = np.nan
+    res_nan = evaluate_accuracy(rec_nan, gt)
+    assert res_nan.n_points == 4900
+
+
+def test_obj_roundtrip(tmp_path):
+    v, t = unit_square_mesh()
+    path = str(tmp_path / "gt.obj")
+    write_obj(path, v.astype(np.float32), t)
+    v2, t2 = load_obj_vertices_triangles(path)
+    assert len(v2) == 4 and len(t2) == 2
+    np.testing.assert_allclose(v2, v, atol=1e-6)

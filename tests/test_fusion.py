@@ -7,10 +7,11 @@ import pytest
 
 from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
 from surfelmeshing_tpu.ops import preprocess as pp
+from surfelmeshing_tpu.ops import fusion as F
 from surfelmeshing_tpu.ops.fusion import (FusionParams, INVALID_INDEX,
-                                          SurfelState, create_surfel_state,
+                                          create_surfel_state,
                                           export_vertices, integrate_frame,
-                                          meshing_snapshot)
+                                          meshing_snapshot, plant_surfel)
 
 H, W = 24, 32
 FX = FY = 30.0
@@ -28,8 +29,6 @@ def flat_wall_inputs(depth_m=2.0, cap=4096):
     """A fronto-parallel wall with valid geometry on the full interior."""
     depth = np.full((H, W), int(SCALE * depth_m + 0.5), np.uint16)
     normals = np.zeros((2, H, W), np.float32)  # normal (0, 0, -1)
-    # radius from pixel footprint: distance between adjacent unprojected
-    # pixels is depth/f; use a generous squared radius.
     r = (depth_m / FX) * 1.5
     radius = np.full((H, W), r * r, np.float32)
     color = np.full((3, H, W), 128, np.uint8)
@@ -53,13 +52,13 @@ class TestCreation:
         # All interior pixels (1px border excluded) become surfels
         # (kernels.cu:99-107).
         assert count == (H - 2) * (W - 2)
-        pos = np.asarray(state.pos[:, :count]).T
+        pos = np.asarray(F.positions(state)[:count])
         assert np.allclose(pos[:, 2], 2.0, atol=1e-3)
-        assert np.all(np.asarray(state.confidence[:count]) == 1.0)
-        assert np.all(np.asarray(state.creation_stamp[:count]) == 0)
-        nrm = np.asarray(state.normal[:, :count]).T
+        assert np.all(np.asarray(F.confidences(state)[:count]) == 1.0)
+        assert np.all(np.asarray(F.creation_stamps(state)[:count]) == 0)
+        nrm = np.asarray(F.normals(state)[:count])
         assert np.allclose(nrm, [0, 0, -1], atol=1e-6)
-        col = np.asarray(state.color[:, :count])
+        col = np.asarray(F.colors_u8(state)[:count])
         assert np.all(col == 128)
 
     def test_initial_neighbors_linked(self):
@@ -67,7 +66,7 @@ class TestCreation:
         depth, normals, radius, color = flat_wall_inputs()
         state = run_frame(state, depth, normals, radius, color, 0)
         count = int(state.surfel_count)
-        nbrs = np.asarray(state.neighbors[:, :count]).T
+        nbrs = np.asarray(state.neighbors[:count])
         # Interior-of-interior surfels have all 4 neighbors.
         n_full = (nbrs != int(INVALID_INDEX)).all(axis=1).sum()
         assert n_full >= (H - 4) * (W - 4)
@@ -93,11 +92,11 @@ class TestSupportAndConfidence:
         c1 = int(state.surfel_count)
         # Existing surfels absorb the measurements; no duplicate explosion.
         assert c1 <= c0 + 0.1 * c0
-        conf = np.asarray(state.confidence[:c0])
+        conf = np.asarray(F.confidences(state)[:c0])
         # Confidence-weighted integration bumped most surfels
         # (kernels.cu:941-945).
         assert (conf > 1.0).mean() > 0.8
-        stamps = np.asarray(state.last_update_stamp[:c0])
+        stamps = np.asarray(F.update_stamps(state)[:c0])
         assert (stamps == 1).mean() > 0.8
 
     def test_confidence_capped(self):
@@ -105,7 +104,7 @@ class TestSupportAndConfidence:
         depth, normals, radius, color = flat_wall_inputs()
         for i in range(12):
             state = run_frame(state, depth, normals, radius, color, i)
-        conf = np.asarray(state.confidence[:int(state.surfel_count)])
+        conf = np.asarray(F.confidences(state)[:int(state.surfel_count)])
         assert conf.max() <= PARAMS.max_surfel_confidence + 1e-5
 
 
@@ -121,30 +120,20 @@ class TestConflict:
 
         # Plant a floating surfel at 1m in front of the wall center.
         tgt = count
-        pos = np.zeros(3, np.float32)
-        pos[2] = 1.0
-        state = state._replace(
-            pos=state.pos.at[:, tgt].set(pos),
-            smooth_pos=state.smooth_pos.at[:, tgt].set(pos),
-            normal=state.normal.at[:, tgt].set(
-                np.array([0, 0, -1], np.float32)),
-            confidence=state.confidence.at[tgt].set(2.0),
-            radius_sq=state.radius_sq.at[tgt].set(0.001),
-            creation_stamp=state.creation_stamp.at[tgt].set(0),
-            last_update_stamp=state.last_update_stamp.at[tgt].set(0),
-            surfel_count=jnp.int32(count + 1),
-        )
+        state = plant_surfel(state, tgt, pos=[0, 0, 1.0], normal=[0, 0, -1],
+                             confidence=2.0, radius_sq=0.001)
+        state = state._replace(surfel_count=jnp.int32(count + 1))
         state = run_frame(state, depth, normals, radius, color, 1)
-        conf1 = float(state.confidence[tgt])
+        conf1 = float(F.confidences(state)[tgt])
         assert conf1 < 2.0  # decremented at least once
         state = run_frame(state, depth, normals, radius, color, 2)
         # After repeated conflicts the surfel is re-initialized onto the wall
         # (conf reset to 1; it may then re-integrate measurements, so conf is
         # low but not necessarily exactly 1 by the time we observe it).
-        z = float(state.pos[2, tgt])
+        z = float(F.positions(state)[tgt, 2])
         assert z == pytest.approx(2.0, abs=1e-2)
-        assert float(state.confidence[tgt]) < 2.0
-        assert int(state.creation_stamp[tgt]) >= 1  # was re-created
+        assert float(F.confidences(state)[tgt]) < 2.0
+        assert int(F.creation_stamps(state)[tgt]) >= 1  # was re-created
 
 
 class TestMerge:
@@ -158,26 +147,21 @@ class TestMerge:
         # offset position -> merge tombstone (kernels.cu:1949-1991).
         src = count // 2
         tgt = count
-        p = np.asarray(state.pos[:, src]) + np.array([1e-5, 0, 0], np.float32)
-        state = state._replace(
-            pos=state.pos.at[:, tgt].set(p),
-            smooth_pos=state.smooth_pos.at[:, tgt].set(p),
-            normal=state.normal.at[:, tgt].set(state.normal[:, src]),
-            confidence=state.confidence.at[tgt].set(1.0),
-            radius_sq=state.radius_sq.at[tgt].set(state.radius_sq[src]),
-            creation_stamp=state.creation_stamp.at[tgt].set(0),
-            last_update_stamp=state.last_update_stamp.at[tgt].set(0),
-            surfel_count=jnp.int32(count + 1),
-        )
+        p = np.asarray(F.positions(state)[src]) + \
+            np.array([1e-5, 0, 0], np.float32)
+        state = plant_surfel(
+            state, tgt, pos=p, normal=np.asarray(F.normals(state)[src]),
+            confidence=1.0, radius_sq=float(F.radii_sq(state)[src]))
+        state = state._replace(surfel_count=jnp.int32(count + 1))
         state = run_frame(state, depth, normals, radius, color, 1)
-        merged = (float(state.radius_sq[tgt]) < 0 or
-                  float(state.radius_sq[src]) < 0)
-        assert merged
+        r_tgt = float(F.radii_sq(state)[tgt])
+        r_src = float(F.radii_sq(state)[src])
+        assert r_tgt < 0 or r_src < 0
         assert int(state.merge_count) >= 1
         # Merged surfel exports NaN position (kernels.cu:2420-2425).
-        positions, _ = export_vertices(state)
-        merged_idx = tgt if float(state.radius_sq[tgt]) < 0 else src
-        assert np.isnan(np.asarray(positions[0, merged_idx]))
+        pos_out, _ = export_vertices(state)
+        merged_idx = tgt if r_tgt < 0 else src
+        assert np.isnan(np.asarray(pos_out[merged_idx, 0]))
 
 
 class TestRegularization:
@@ -192,8 +176,9 @@ class TestRegularization:
         for i in range(1, 6):
             state = run_frame(state, depth_noisy, normals, radius, color, i)
         count = int(state.surfel_count)
-        raw_spread = np.std(np.asarray(state.pos[2, :count]))
-        smooth_spread = np.std(np.asarray(state.smooth_pos[2, :count]))
+        raw_spread = np.std(np.asarray(F.positions(state)[:count, 2]))
+        smooth_spread = np.std(
+            np.asarray(F.smooth_positions(state)[:count, 2]))
         assert smooth_spread < raw_spread
 
     def test_disable_denoising_copies_raw(self):
@@ -206,8 +191,9 @@ class TestRegularization:
         state = run_frame(state, depth, normals, radius, color, 0,
                           params=params)
         count = int(state.surfel_count)
-        np.testing.assert_allclose(np.asarray(state.smooth_pos[:, :count]),
-                                   np.asarray(state.pos[:, :count]))
+        np.testing.assert_allclose(
+            np.asarray(F.smooth_positions(state)[:count]),
+            np.asarray(F.positions(state)[:count]))
 
 
 class TestEndToEndFusion:
@@ -221,7 +207,6 @@ class TestEndToEndFusion:
             depth_scaling=SCALE, do_blending=True,
             regularization_iterations=1)
         state = create_surfel_state(32768)
-        k = 2  # outlier window of 2 frames
         for i in range(1, seq.frame_count - 1):
             depth, color = seq.depth_and_color(i)
             others = np.stack([seq.depth_and_color(i - 1)[0],
@@ -252,7 +237,7 @@ class TestEndToEndFusion:
         count = int(state.surfel_count)
         assert count > 100
         smooth, radius_sq, normal, stamps, _ = meshing_snapshot(state)
-        pts = np.asarray(smooth[:, :count]).T
+        pts = np.asarray(smooth[:count])
         alive = np.asarray(radius_sq[:count]) >= 0
         pts = pts[alive]
         # Scene distance: min over wall plane z=2.5, floor y=0.8, sphere.

@@ -45,8 +45,9 @@ def test_batched_step_runs_on_mesh():
     assert np.all(counts == (H - 2) * (W - 2))
     assert int(total) == s * (H - 2) * (W - 2)
     # Surfel depths differ per sequence (shards actually computed separately).
-    z0 = float(state.pos[0, 2, 0])
-    z7 = float(state.pos[7, 2, 0])
+    from surfelmeshing_tpu.ops.fusion import PZ
+    z0 = float(state.pack[0, 0, PZ])
+    z7 = float(state.pack[7, 0, PZ])
     assert abs((z0 + 0.1 * 7) - z7) < 0.2 and z0 != z7
 
     # Second step: supports, no duplicate explosion.

@@ -30,7 +30,9 @@ def test_accuracy_perfect_and_offset():
     rec = rng.random((5000, 2))
     rec3 = np.concatenate([rec, np.zeros((5000, 1))], axis=1)
 
-    res = evaluate_accuracy(rec3, gt)
+    # 5000 random points in a unit square -> NN spacing ~ 0.014, so use a
+    # completeness tolerance comfortably above it.
+    res = evaluate_accuracy(rec3, gt, completeness_tolerance=0.05)
     assert res.mean < 0.02
     assert res.completeness > 0.95
 

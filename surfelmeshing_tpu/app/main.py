@@ -6,13 +6,16 @@ Usage:
         <trajectory_filename> [flags...]
 
 Drives the per-frame loop: dataset playback with pose interpolation, depth
-preprocessing + surfel fusion on the TPU, asynchronous incremental meshing
-snapshots, FPS pacing, timing reports, and OBJ/PLY export.
+preprocessing + surfel fusion on the TPU, asynchronous incremental meshing,
+FPS pacing, timing reports, camera following / keyframe-spline playback,
+frame-by-frame video rendering through the headless viewer, and OBJ/PLY
+export.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 
@@ -21,8 +24,74 @@ import numpy as np
 from ..config import SurfelMeshingConfig, config_from_args
 from ..io.tum import read_tum_rgbd_dataset
 from ..pipeline import ReconstructionPipeline
+from ..utils.se3 import SE3
+from ..utils.spline import KeyframePath, read_keyframes, write_keyframes
 
 logger = logging.getLogger("surfelmeshing_tpu")
+
+
+def _up_direction(cfg, video):
+    """Up-direction heuristic (main.cc:644-659)."""
+    if cfg.trajectory_filename == "groundtruth.txt":
+        return np.array([0.0, 0.0, 1.0])
+    gt_path = os.path.join(cfg.dataset_folder_path, "groundtruth.txt")
+    if os.path.exists(gt_path):
+        try:
+            gt_video = read_tum_rgbd_dataset(cfg.dataset_folder_path,
+                                             "groundtruth.txt")
+            r_traj = video.depth_frames[0].frame_T_global.rotation_matrix
+            r_gt = gt_video.depth_frames[0].frame_T_global.rotation_matrix
+            return r_traj.T @ r_gt @ np.array([0.0, 0.0, 1.0])
+        except Exception:  # noqa: BLE001 - heuristic only
+            pass
+    return video.depth_frames[0].frame_T_global.rotation_matrix.T @ \
+        np.array([0.0, 1.0, 0.0])
+
+
+class VideoWriter:
+    """Frame-by-frame screenshot video (--create_video, main.cc:1436-1440)."""
+
+    def __init__(self, cfg, camera):
+        from ..viewer.renderer import Renderer
+        self.cfg = cfg
+        self.renderer = Renderer(cfg.render_window_default_width,
+                                 cfg.render_window_default_height)
+        self.camera = camera
+        self.count = 0
+
+    def render_frame(self, pipe, mesher, view_pose, input_pose):
+        from ..ops.fusion import export_vertices
+        positions, colors = export_vertices(pipe.state)
+        count = pipe.surfel_count()
+        positions = np.asarray(positions[:count])
+        colors = np.asarray(colors[:count])
+        tris = None
+        mesh_surfels = 0
+        if mesher is not None:
+            out = mesher.peek_output()
+            if out is not None:
+                _, mesh_surfels, tris = out
+        splats = None
+        splat_colors = None
+        if self.cfg.render_new_surfels_as_splats:
+            splats = positions[mesh_surfels:]
+            splat_colors = colors[mesh_surfels:]
+        img = self.renderer.render(
+            view_pose,
+            splat_points=splats,
+            splat_colors=splat_colors,
+            splat_half_extent=self.cfg.splat_half_extent_in_pixels,
+            mesh_vertices=positions,
+            mesh_colors=colors,
+            mesh_triangles=tris if tris is not None and len(tris) else None,
+            triangle_normal_shading=self.cfg.triangle_normal_shading,
+            frustum_pose=input_pose if self.cfg.render_camera_frustum
+            else None,
+            frustum_camera=pipe.camera if self.cfg.render_camera_frustum
+            else None)
+        from ..viewer.renderer import save_png
+        save_png(f"frame{self.count:06d}.png", img)
+        self.count += 1
 
 
 def run(cfg: SurfelMeshingConfig) -> int:
@@ -52,30 +121,74 @@ def run(cfg: SurfelMeshingConfig) -> int:
     if cfg.asynchronous_triangulation or cfg.full_meshing_every_frame:
         try:
             from ..meshing.driver import MeshingDriver
-            mesher = MeshingDriver(cfg)
+            mesher = MeshingDriver(cfg, log_timings=bool(cfg.log_timings))
         except (ImportError, OSError) as exc:
             logger.warning("meshing engine unavailable (%s); "
                            "running fusion only", exc)
+
+    up = _up_direction(cfg, video)
+    logger.info("up direction: %s", np.round(up, 3))
+
+    playback_path = None
+    if cfg.playback_keyframes:
+        keyframes = read_keyframes(cfg.playback_keyframes)
+        playback_path = KeyframePath([p for _, p in keyframes])
+        logger.info("Keyframe playback with %d keyframes", len(keyframes))
+    recorded_keyframes = []
+
+    video_writer = VideoWriter(cfg, video.depth_camera) \
+        if cfg.create_video else None
 
     stats_interval = 200
     frame_count_hits = 0
     frame_count_misses = 0
     target_dt = 1.0 / cfg.restrict_fps_to if cfg.restrict_fps_to > 0 else 0.0
+    processed_frames = 0
+    last_frame = None
 
-    for frame_index in range(cfg.start_frame, end_frame - half_window):
+    frame_range = range(cfg.start_frame, end_frame - half_window)
+    for frame_index in frame_range:
         frame_start = time.perf_counter()
         result = pipe.process_frame(video, frame_index)
         if result is None:
             continue
-        if mesher is not None:
+        processed_frames += 1
+        last_frame = frame_index
+
+        if mesher is not None and not cfg.full_meshing_every_frame:
+            # Snapshot pacing: only when the mesher is idle or about to
+            # finish (main.cc:1235-1254).
             if mesher.idle() or frame_index == end_frame - half_window - 1:
                 mesher.submit(*pipe.snapshot(), frame_index)
+        elif mesher is not None:
+            # Synchronous full meshing every frame.
+            mesher.submit(*pipe.snapshot(), frame_index)
+            mesher.drain()
+            mesher.engine.full_retriangulation()
+
+        input_pose = video.depth_frames[frame_index].global_T_frame
+        if cfg.record_keyframes:
+            recorded_keyframes.append((frame_index, input_pose))
+        if video_writer is not None:
+            if playback_path is not None:
+                s = playback_path.max_parameter * processed_frames / max(
+                    1, len(frame_range))
+                view_pose = playback_path.sample(s)
+            elif cfg.follow_input_camera:
+                view_pose = input_pose
+            else:
+                view_pose = video.depth_frames[cfg.start_frame].global_T_frame
+            video_writer.render_frame(pipe, mesher, view_pose, input_pose)
+
         if cfg.log_timings:
             pipe.log_frame_timings(frame_index)
         if frame_index % stats_interval == 0:
             pipe.block_until_ready()
-            logger.info("frame %d: %d surfels", frame_index,
-                        pipe.surfel_count())
+            tri = mesher.engine.triangle_count if mesher else 0
+            logger.info("frame %d: %d surfels, %d triangles", frame_index,
+                        pipe.surfel_count(), tri)
+        if cfg.step_by_step_playback:
+            input("Press Return for the next frame...")
         # FPS cap (main.cc:1669-1692).
         if target_dt > 0:
             elapsed = time.perf_counter() - frame_start
@@ -91,11 +204,24 @@ def run(cfg: SurfelMeshingConfig) -> int:
     logger.info("%s", pipe.timing.report())
 
     if mesher is not None:
+        # Final snapshot so the mesh covers the last fused state
+        # (main.cc:1247-1254).
+        if last_frame is not None:
+            mesher.drain()
+            mesher.submit(*pipe.snapshot(), last_frame)
         mesher.finish(full_retriangulation=cfg.full_retriangulation_at_end)
+        logger.info("final mesh: %d triangles", mesher.engine.triangle_count)
+
+    if cfg.record_keyframes and recorded_keyframes:
+        write_keyframes(cfg.record_keyframes, recorded_keyframes)
+        logger.info("Wrote %d keyframes to %s", len(recorded_keyframes),
+                    cfg.record_keyframes)
 
     if cfg.log_timings:
         with open(cfg.log_timings, "w") as f:
             f.write("\n".join(pipe.timings_log_lines) + "\n")
+            if mesher is not None and mesher.timings_log_lines:
+                f.write("\n".join(mesher.timings_log_lines) + "\n")
 
     if cfg.export_point_cloud:
         n = pipe.export_point_cloud(cfg.export_point_cloud)

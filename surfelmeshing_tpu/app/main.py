@@ -94,6 +94,64 @@ class VideoWriter:
         self.count += 1
 
 
+def _terminal_controls(cfg, pipe, mesher, frame_index, input_pose,
+                       recorded_keyframes) -> str:
+    """Terminal key controls (main.cc:1548-1653; reference README
+    "Terminal controls"): Return = next frame, q = quit, r = run,
+    a/s = regularizer weight x1.1 / /1.1, d = one regularization iteration,
+    t = full retriangulation, p = save mesh now, k = record keyframe."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from ..ops.fusion import regularize_only
+
+    while True:
+        try:
+            cmd = input("[Return=step, q, r, a, s, d, t, p, k] > ").strip()
+        except EOFError:
+            return "quit"
+        if cmd == "":
+            return "step"
+        key = cmd[0].lower()
+        if key == "q":
+            return "quit"
+        if key == "r":
+            return "run"
+        if key == "a":
+            cfg.regularizer_weight *= 1.1
+            pipe.fusion_params = _dc.replace(
+                pipe.fusion_params, regularizer_weight=cfg.regularizer_weight)
+            logger.info("regularizer_weight: %f", cfg.regularizer_weight)
+        elif key == "s":
+            cfg.regularizer_weight /= 1.1
+            pipe.fusion_params = _dc.replace(
+                pipe.fusion_params, regularizer_weight=cfg.regularizer_weight)
+            logger.info("regularizer_weight: %f", cfg.regularizer_weight)
+        elif key == "d":
+            logger.info("Regularization iteration ...")
+            pipe.state = regularize_only(pipe.state, jnp.int32(frame_index),
+                                         pipe.fusion_params)
+        elif key == "t" and mesher is not None:
+            mesher.drain()
+            mesher.engine.full_retriangulation()
+            logger.info("full retriangulation: %d triangles",
+                        mesher.engine.triangle_count)
+        elif key == "p":
+            if cfg.export_mesh and mesher is not None:
+                mesher.drain()
+                mesher.export_obj(cfg.export_mesh, pipe)
+                logger.info("Wrote %s", cfg.export_mesh)
+            elif cfg.export_point_cloud:
+                pipe.export_point_cloud(cfg.export_point_cloud)
+                logger.info("Wrote %s", cfg.export_point_cloud)
+            else:
+                logger.warning("no --export_mesh/--export_point_cloud path")
+        elif key == "k":
+            recorded_keyframes.append((frame_index, input_pose))
+            logger.info("recorded keyframe at frame %d", frame_index)
+
+
 def run(cfg: SurfelMeshingConfig) -> int:
     if not cfg.dataset_folder_path:
         print("error: dataset_folder_path is required", file=sys.stderr)
@@ -188,7 +246,12 @@ def run(cfg: SurfelMeshingConfig) -> int:
             logger.info("frame %d: %d surfels, %d triangles", frame_index,
                         pipe.surfel_count(), tri)
         if cfg.step_by_step_playback:
-            input("Press Return for the next frame...")
+            action = _terminal_controls(cfg, pipe, mesher, frame_index,
+                                        input_pose, recorded_keyframes)
+            if action == "quit":
+                break
+            if action == "run":
+                cfg.step_by_step_playback = False
         # FPS cap (main.cc:1669-1692).
         if target_dt > 0:
             elapsed = time.perf_counter() - frame_start
@@ -202,6 +265,16 @@ def run(cfg: SurfelMeshingConfig) -> int:
     logger.info("done: %d surfels, fps target hit %d / missed %d",
                 pipe.surfel_count(), frame_count_hits, frame_count_misses)
     logger.info("%s", pipe.timing.report())
+
+    # Post-processing terminal controls (main.cc:1550: show_result &&
+    # is_last_frame); only when attached to an interactive terminal.
+    if cfg.show_result and sys.stdin.isatty() and last_frame is not None:
+        pose = video.depth_frames[last_frame].global_T_frame
+        while True:
+            action = _terminal_controls(cfg, pipe, mesher, last_frame, pose,
+                                        recorded_keyframes)
+            if action in ("quit", "run"):
+                break
 
     if mesher is not None:
         # Final snapshot so the mesh covers the last fused state

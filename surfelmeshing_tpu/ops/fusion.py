@@ -925,6 +925,17 @@ def _regularize(params, pack, neighbors, frame_index):
     return pack, neighbors
 
 
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def regularize_only(state: SurfelState, frame_index: jnp.ndarray,
+                    params: FusionParams) -> SurfelState:
+    """Standalone regularization iteration (CUDASurfelReconstruction::
+    Regularize, cuda_surfel_reconstruction.cc:322-337; driven by the 'd'
+    terminal key, main.cc:1573-1580)."""
+    pack, neighbors = _regularize(params, state.pack, state.neighbors,
+                                  jnp.asarray(frame_index, jnp.int32))
+    return state._replace(pack=pack, neighbors=neighbors)
+
+
 # ---------------------------------------------------------------------------
 # Export / snapshot.
 # ---------------------------------------------------------------------------

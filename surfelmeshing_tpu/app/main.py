@@ -59,12 +59,35 @@ class VideoWriter:
         self.camera = camera
         self.count = 0
 
-    def render_frame(self, pipe, mesher, view_pose, input_pose):
+    def render_frame(self, pipe, mesher, view_pose, input_pose,
+                     frame_index=0):
+        from ..ops import fusion as F
         from ..ops.fusion import export_vertices
+        from ..viewer.renderer import surfel_colors
         positions, colors = export_vertices(pipe.state)
         count = pipe.surfel_count()
         positions = np.asarray(positions[:count])
         colors = np.asarray(colors[:count])
+        # Debug color modes (--visualize_*, kernels.cu:274-351).
+        mode = "color"
+        if self.cfg.visualize_last_update_timestamp:
+            mode = "timestamp"
+        elif self.cfg.visualize_creation_timestamp:
+            mode = "creation"
+        elif self.cfg.visualize_radii:
+            mode = "radius"
+        elif self.cfg.visualize_surfel_normals:
+            mode = "normals"
+        if mode != "color":
+            colors = surfel_colors(
+                mode, colors,
+                np.asarray(F.update_stamps(pipe.state)[:count]),
+                np.asarray(F.creation_stamps(pipe.state)[:count]),
+                np.asarray(F.radii_sq(pipe.state)[:count]),
+                np.asarray(F.normals(pipe.state)[:count]),
+                frame_index,
+                active_window=min(
+                    self.cfg.surfel_integration_active_window_size, 3000))
         tris = None
         mesh_surfels = 0
         if mesher is not None:
@@ -176,13 +199,12 @@ def run(cfg: SurfelMeshingConfig) -> int:
     pipe = ReconstructionPipeline(cfg, video.depth_camera)
 
     mesher = None
-    if cfg.asynchronous_triangulation or cfg.full_meshing_every_frame:
-        try:
-            from ..meshing.driver import MeshingDriver
-            mesher = MeshingDriver(cfg, log_timings=bool(cfg.log_timings))
-        except (ImportError, OSError) as exc:
-            logger.warning("meshing engine unavailable (%s); "
-                           "running fusion only", exc)
+    try:
+        from ..meshing.driver import MeshingDriver
+        mesher = MeshingDriver(cfg, log_timings=bool(cfg.log_timings))
+    except (ImportError, OSError) as exc:
+        logger.warning("meshing engine unavailable (%s); "
+                       "running fusion only", exc)
 
     up = _up_direction(cfg, video)
     logger.info("up direction: %s", np.round(up, 3))
@@ -213,16 +235,18 @@ def run(cfg: SurfelMeshingConfig) -> int:
         processed_frames += 1
         last_frame = frame_index
 
-        if mesher is not None and not cfg.full_meshing_every_frame:
-            # Snapshot pacing: only when the mesher is idle or about to
-            # finish (main.cc:1235-1254).
-            if mesher.idle() or frame_index == end_frame - half_window - 1:
+        if mesher is not None:
+            if cfg.asynchronous_triangulation:
+                # Snapshot pacing: only when the mesher is idle or about to
+                # finish (main.cc:1235-1254).
+                if mesher.idle() or frame_index == end_frame - half_window - 1:
+                    mesher.submit(*pipe.snapshot(), frame_index)
+            else:
+                # Synchronous meshing inline each frame (main.cc:1343-1389).
                 mesher.submit(*pipe.snapshot(), frame_index)
-        elif mesher is not None:
-            # Synchronous full meshing every frame.
-            mesher.submit(*pipe.snapshot(), frame_index)
-            mesher.drain()
-            mesher.engine.full_retriangulation()
+                mesher.drain()
+                if cfg.full_meshing_every_frame:
+                    mesher.engine.full_retriangulation()
 
         input_pose = video.depth_frames[frame_index].global_T_frame
         if cfg.record_keyframes:
@@ -236,7 +260,8 @@ def run(cfg: SurfelMeshingConfig) -> int:
                 view_pose = input_pose
             else:
                 view_pose = video.depth_frames[cfg.start_frame].global_T_frame
-            video_writer.render_frame(pipe, mesher, view_pose, input_pose)
+            video_writer.render_frame(pipe, mesher, view_pose, input_pose,
+                                      frame_index)
 
         if cfg.log_timings:
             pipe.log_frame_timings(frame_index)
@@ -293,7 +318,10 @@ def run(cfg: SurfelMeshingConfig) -> int:
     if cfg.log_timings:
         with open(cfg.log_timings, "w") as f:
             f.write("\n".join(pipe.timings_log_lines) + "\n")
-            if mesher is not None and mesher.timings_log_lines:
+        # Meshing-thread timings go to their own file, like the reference
+        # (asynchronous_meshing.cc:158-165 writes timings_cpu.txt).
+        if mesher is not None and mesher.timings_log_lines:
+            with open("timings_cpu.txt", "w") as f:
                 f.write("\n".join(mesher.timings_log_lines) + "\n")
 
     if cfg.export_point_cloud:

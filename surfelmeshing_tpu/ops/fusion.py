@@ -162,6 +162,10 @@ class FusionParams:
     regularization_iterations: int = 1
     radius_factor_for_regularization_neighbors: float = 2.0
     surfel_integration_active_window_size: int = 2**31 - 1
+    # Static per-frame creation budget.  Creations beyond it are dropped and
+    # re-attempted next frame (their pixels stay unsupported), so bursts ramp
+    # over a few frames; a tight budget keeps the creation scatter small.
+    max_creations_per_frame: int = 2**17
     # Profiling aid: stop the compiled program after phase k (1=min-depth,
     # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99
@@ -372,12 +376,14 @@ def integrate_frame(
         jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
         jnp.concatenate([idx, idx]), mode="drop")
 
+    # Counts and depth sums share the index stream: one 2-wide scatter-add.
     ab_pix = jnp.concatenate([jnp.where(support_a, pix_a, INVALID_INDEX),
                               jnp.where(support_b, pix_b, INVALID_INDEX)])
-    support_counts = jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
-        1, mode="drop")
-    support_depth_sums = jnp.zeros((hw,), jnp.float32).at[ab_pix].add(
-        jnp.concatenate([z, z]), mode="drop")
+    zz = jnp.concatenate([z, z])
+    cs = jnp.zeros((hw, 2), jnp.float32).at[ab_pix].add(
+        jnp.stack([jnp.ones_like(zz), zz], axis=1), mode="drop")
+    support_counts = cs[:, 0].astype(jnp.int32)
+    support_depth_sums = cs[:, 1]
     if params.debug_stop_after <= 2:
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, conflicting_surfels)
@@ -385,8 +391,11 @@ def integrate_frame(
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     supported = supporting_surfels[pix_a_c]
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
-    sup_rows = pack[jnp.clip(supported, 0, n - 1)]   # one row-gather
-    other_radius = sup_rows[:, RAD]
+    # Narrow row-gather: only pos/normal/radius columns (gather cost scales
+    # with row width).
+    merge_cols = pack[:, PX:NZ + 1]                  # PX..PZ,SX..SZ,NX..NZ
+    sup_rows = merge_cols[jnp.clip(supported, 0, n - 1)]
+    other_radius = pack[:, RAD][jnp.clip(supported, 0, n - 1)]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)
     m_on = m_on & (radius_ratio <= MERGE_RADIUS_DIFF_THRESHOLD_SQ) & \
@@ -712,43 +721,48 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
     ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
 
-    # Existing slots: one row gather for distances (and reuse for detach).
+    # Narrow sub-pack for neighbor gathers: pos + normal (6 cols).
+    pn_pack = jnp.concatenate([pack[:, PX:PZ + 1], pack[:, NX:NZ + 1]],
+                              axis=1)
+
+    # Existing slots: one narrow row gather for distances.
     slot_idx = neighbors                                  # (N, 4)
-    slot_rows = pack[jnp.clip(slot_idx, 0, n - 1)]        # (N, 4, PACK)
+    slot_pos = pack[:, PX:PZ + 1][jnp.clip(slot_idx, 0, n - 1)]  # (N, 4, 3)
     slot_valid = slot_idx != INVALID_INDEX
-    sdx = slot_rows[..., PX] - ox[:, None]
-    sdy = slot_rows[..., PY] - oy[:, None]
-    sdz = slot_rows[..., PZ] - oz[:, None]
+    sdx = slot_pos[..., 0] - ox[:, None]
+    sdy = slot_pos[..., 1] - oy[:, None]
+    sdz = slot_pos[..., 2] - oz[:, None]
     slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
                           jnp.inf)
 
     for direction in range(4):
         cand = _i32(rows_post_a[:, 16 + direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
-        cand_rows = pack[jnp.clip(cand, 0, n - 1)]        # one row gather
-        cdx = cand_rows[:, PX] - ox
-        cdy = cand_rows[:, PY] - oy
-        cdz = cand_rows[:, PZ] - oz
+        cand_rows = pn_pack[jnp.clip(cand, 0, n - 1)]     # one narrow gather
+        cdx = cand_rows[:, 0] - ox
+        cdy = cand_rows[:, 1] - oy
+        cdz = cand_rows[:, 2] - oz
         c_dist = cdx * cdx + cdy * cdy + cdz * cdz
         c_ok = c_ok & (c_dist <= reg_factor_sq * radius_col)
-        c_ok = c_ok & (nx_ * cand_rows[:, NX] + ny_ * cand_rows[:, NY] +
-                       nz_ * cand_rows[:, NZ] > 0)
+        c_ok = c_ok & (nx_ * cand_rows[:, 3] + ny_ * cand_rows[:, 4] +
+                       nz_ * cand_rows[:, 5] > 0)
 
         already = jnp.any(slot_idx == cand[:, None], axis=-1)
         c_ok = c_ok & ~already
 
+        # argmax + max instead of take_along_axis (which lowers to a slow
+        # per-element gather on TPU); the selected slot's distance IS the max.
         best = jnp.argmax(slot_dist, axis=-1)
-        best_dist = jnp.take_along_axis(slot_dist, best[:, None],
-                                        axis=-1)[:, 0]
+        best_dist = jnp.max(slot_dist, axis=-1)
         c_ok = c_ok & (c_dist < best_dist)
         onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
         slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
         slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
 
     # Drop neighbors whose surfel has the detach flag set
-    # (kernels.cu:1420-1437); fresh row gather since slots changed.
-    final_rows = pack[jnp.clip(slot_idx, 0, n - 1)]
-    slot_detach = (final_rows[..., DETACH] > 0) & (slot_idx != INVALID_INDEX)
+    # (kernels.cu:1420-1437); fresh scalar gather since slots changed.
+    final_detach = pack[:, DETACH][jnp.clip(slot_idx, 0, n - 1)]
+    slot_detach = (final_detach > 0) & (slot_idx != INVALID_INDEX)
     return jnp.where(slot_detach, INVALID_INDEX, slot_idx)
 
 
@@ -775,12 +789,12 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
         (supporting_surfels == INVALID_INDEX) & \
         (conflicting_surfels == INVALID_INDEX)
 
+    c_budget = min(params.max_creations_per_frame, hw)
+
     prefix = jnp.cumsum(flags_flat.astype(jnp.int32)) - \
         flags_flat.astype(jnp.int32)
     total = prefix[-1] + flags_flat[-1].astype(jnp.int32)
-    dest = surfel_count + prefix                      # (HW,)
-    fits = flags_flat & (dest < n)
-    dest_idx = jnp.where(fits, dest, INVALID_INDEX)
+    fits = flags_flat & (surfel_count + prefix < n) & (prefix < c_budget)
 
     pgx, pgy, pgz = img_post[:, 1], img_post[:, 2], img_post[:, 3]
 
@@ -791,18 +805,19 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     shifts = (-1, +1, -w, +w)
     flags_f = flags_flat.astype(jnp.float32)
     prefix_f = prefix.astype(jnp.float32)
+    ps_pack = pack[:, PX:SZ + 1]              # pos + smooth (6 cols)
     for k, shift in enumerate(shifts):
         sup = _i32(img_post[:, 16 + k])       # supporting at that adjacency
         has_sup = sup != INVALID_INDEX
-        sup_rows = pack[jnp.clip(sup, 0, n - 1)]   # one row gather
-        dx = sup_rows[:, PX] - pgx
-        dy = sup_rows[:, PY] - pgy
-        dz = sup_rows[:, PZ] - pgz
+        sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # one narrow row gather
+        dx = sup_rows[:, 0] - pgx
+        dy = sup_rows[:, 1] - pgy
+        dz = sup_rows[:, 2] - pgz
         in_range = dx * dx + dy * dy + dz * dz <= reg_factor_sq * radius_flat
         use_sup = has_sup & in_range
-        exist_sum[0] += jnp.where(use_sup, sup_rows[:, SX], 0.0)
-        exist_sum[1] += jnp.where(use_sup, sup_rows[:, SY], 0.0)
-        exist_sum[2] += jnp.where(use_sup, sup_rows[:, SZ], 0.0)
+        exist_sum[0] += jnp.where(use_sup, sup_rows[:, 3], 0.0)
+        exist_sum[1] += jnp.where(use_sup, sup_rows[:, 4], 0.0)
+        exist_sum[2] += jnp.where(use_sup, sup_rows[:, 5], 0.0)
         exist_cnt += use_sup.astype(jnp.float32)
 
         adj_new = _shift_flat(flags_f, hw, shift) > 0
@@ -813,7 +828,8 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
             (approx_sq <= reg_factor_sq * radius_flat)
         adj_dest = surfel_count + adj_prefix
         slot = jnp.where(use_sup, sup,
-                         jnp.where(use_new & (adj_dest < n), adj_dest,
+                         jnp.where(use_new & (adj_dest < n) &
+                                   (adj_prefix < c_budget), adj_dest,
                                    INVALID_INDEX))
         nbr_slots.append(slot)
 
@@ -837,15 +853,32 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     new_rows_cols[STAMP] = frame_f
     new_rows_cols[DETACH] = jnp.zeros((hw,), jnp.float32)
     new_rows = jnp.stack(new_rows_cols, axis=1)             # (HW, PACK)
+    new_nbrs = jnp.stack(nbr_slots, axis=1)                 # (HW, 4)
 
-    # Destination indices are unique by construction (prefix sums):
-    # one row scatter for the pack, one for the neighbor table.
-    pack = pack.at[dest_idx].set(new_rows, mode="drop", unique_indices=True)
-    neighbors = neighbors.at[dest_idx].set(
-        jnp.stack(nbr_slots, axis=1), mode="drop", unique_indices=True)
+    # Compact the flagged pixels into the creation budget: src_pix[j] is the
+    # pixel of the j-th created surfel.  The compaction scatter is unique by
+    # construction of the prefix sum; the pack writes are then C-sized
+    # instead of HW-sized.
+    src_scatter = jnp.where(fits, prefix, INVALID_INDEX)
+    src_pix = jnp.zeros((c_budget,), jnp.int32).at[src_scatter].set(
+        lin, mode="drop", unique_indices=True)
+    rows_c = new_rows[src_pix]                              # (C, PACK)
+    nbrs_c = new_nbrs[src_pix]                              # (C, 4)
 
-    created = jnp.minimum(total, jnp.maximum(n - surfel_count, 0))
-    overflow_count = overflow_count + (total - created)
+    created = jnp.minimum(jnp.minimum(total, c_budget),
+                          jnp.maximum(n - surfel_count, 0))
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (c_budget, 1), 0)[:, 0]
+    dest_c = jnp.where(slot_iota < created, surfel_count + slot_iota,
+                       INVALID_INDEX)
+    pack = pack.at[dest_c].set(rows_c, mode="drop", unique_indices=True)
+    neighbors = neighbors.at[dest_c].set(nbrs_c, mode="drop",
+                                         unique_indices=True)
+
+    # Overflow counts only capacity-dropped creations; budget-deferred ones
+    # retry next frame and are not overflow.
+    capacity_short = jnp.maximum(
+        0, jnp.minimum(total, c_budget) - jnp.maximum(n - surfel_count, 0))
+    overflow_count = overflow_count + capacity_short
     surfel_count = surfel_count + created
     return pack, neighbors, surfel_count, overflow_count
 
@@ -868,30 +901,36 @@ def _regularize(params, pack, neighbors, frame_index):
     nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
     stamps = _i32(pack[:, STAMP])
 
+    # Narrow sub-pack: smooth position + stamp (4 cols).
+    reg_pack = jnp.concatenate([pack[:, SX:SZ + 1], pack[:, STAMP:STAMP + 1]],
+                               axis=1)
     slot_valid = neighbors != INVALID_INDEX                  # (N, 4)
-    slot_rows = pack[jnp.clip(neighbors, 0, n - 1)]          # (N, 4, PACK)
-    slot_recent = _i32(slot_rows[..., STAMP]) >= frame_index - window
+    slot_rows = reg_pack[jnp.clip(neighbors, 0, n - 1)]      # (N, 4, 4)
+    slot_recent = _i32(slot_rows[..., 3]) >= frame_index - window
     use = slot_valid & slot_recent
     cnt = jnp.sum(use.astype(jnp.float32), axis=-1)
 
-    dx = slot_rows[..., SX] - sx[:, None]
-    dy = slot_rows[..., SY] - sy[:, None]
-    dz = slot_rows[..., SZ] - sz[:, None]
+    dx = slot_rows[..., 0] - sx[:, None]
+    dy = slot_rows[..., 1] - sy[:, None]
+    dz = slot_rows[..., 2] - sz[:, None]
     ndot = nx_[:, None] * dx + ny_[:, None] * dy + nz_[:, None] * dz
     nbr_dist_sq = dx * dx + dy * dy + dz * dz
 
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
     scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
     term = factor[:, None] * ndot                            # (N, 4)
-    grad_x = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * nx_[:, None]).reshape(-1), mode="drop")
-    grad_y = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * ny_[:, None]).reshape(-1), mode="drop")
-    grad_z = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * nz_[:, None]).reshape(-1), mode="drop")
-    gcount = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
-                         use.shape).reshape(-1), mode="drop")
+    # One 4-wide row scatter-add [gx, gy, gz, gcount] instead of four scalar
+    # scatters (vector scatter-add is the faster path on TPU).
+    updates = jnp.stack(
+        [(term * nx_[:, None]).reshape(-1),
+         (term * ny_[:, None]).reshape(-1),
+         (term * nz_[:, None]).reshape(-1),
+         jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
+                          use.shape).reshape(-1)], axis=1)   # (4N, 4)
+    acc = jnp.zeros((n, 4), jnp.float32).at[scatter_idx].add(
+        updates, mode="drop")
+    grad_x, grad_y, grad_z, gcount = (acc[:, 0], acc[:, 1], acc[:, 2],
+                                      acc[:, 3])
 
     # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
     drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][:, None])

@@ -332,8 +332,10 @@ def compute_point_radii_and_remove_isolated(
 
 def median_filter_and_densify(depth: jnp.ndarray) -> jnp.ndarray:
     """MedianFilterAndDensifyDepthMap (main.cc:207-252), CPU fallback in the
-    reference, on-device here: 3x3 median over valid samples; fills holes when
-    any neighbor is valid."""
+    reference, on-device here: 3x3 median over valid samples (center
+    included); needs >= 2 valid samples, else passes the input through; for
+    even counts picks the middle value closer to the average
+    (main.cc:230-243)."""
     height, width = depth.shape
     pad = 1
     padded = jnp.pad(depth, pad)
@@ -344,13 +346,23 @@ def median_filter_and_densify(depth: jnp.ndarray) -> jnp.ndarray:
     stack = jnp.stack(samples, axis=0).astype(jnp.int32)  # (9, H, W)
     valid = stack > 0
     count = jnp.sum(valid.astype(jnp.int32), axis=0)
-    # Sort with invalid samples pushed to the top, then take the middle valid.
+    # Sort with invalid samples pushed to the top; the valid prefix is sorted.
     big = jnp.where(valid, stack, jnp.int32(65536))
     ordered = jnp.sort(big, axis=0)
-    # Median index over the valid prefix: (count - 1) // 2.
-    idx = jnp.clip((count - 1) // 2, 0, 8)
-    median = jnp.take_along_axis(ordered, idx[None], axis=0)[0]
-    out = jnp.where(count > 0, median, 0)
+    # Odd count: middle element at count // 2.
+    mid_hi = jnp.take_along_axis(
+        ordered, jnp.clip(count // 2, 0, 8)[None], axis=0)[0]
+    # Even count: of elements at count/2 - 1 and count/2, take the one
+    # closer to the average of the valid samples.
+    mid_lo = jnp.take_along_axis(
+        ordered, jnp.clip(count // 2 - 1, 0, 8)[None], axis=0)[0]
+    avg = jnp.sum(jnp.where(valid, stack, 0), axis=0).astype(jnp.float32) / \
+        jnp.maximum(count, 1).astype(jnp.float32)
+    lo_closer = jnp.abs(mid_lo.astype(jnp.float32) - avg) < \
+        jnp.abs(mid_hi.astype(jnp.float32) - avg)
+    even_pick = jnp.where(lo_closer, mid_lo, mid_hi)
+    median = jnp.where(count % 2 == 0, even_pick, mid_hi)
+    out = jnp.where(count >= 2, median, depth.astype(jnp.int32))
     return out.astype(jnp.uint16)
 
 

@@ -183,6 +183,10 @@ class ReconstructionPipeline:
         elif required == -1:
             required = None
 
+        if cfg.debug_depth_preprocessing:
+            self._dump_preprocessing_stages(depth, others, T, frame_index,
+                                            required)
+
         return pp.preprocess_frame(
             depth, others, T,
             sigma_xy=cfg.bilateral_filter_sigma_xy,
@@ -199,6 +203,49 @@ class ReconstructionPipeline:
             point_radius_extension_factor=cfg.point_radius_extension_factor,
             point_radius_clamp_factor=cfg.point_radius_clamp_factor,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+
+    def _dump_preprocessing_stages(self, depth, others, T, frame_index,
+                                   required) -> None:
+        """--debug_depth_preprocessing: save each preprocessing stage as a
+        PNG (reference shows them in windows, main.cc:1028-1176)."""
+        import os
+
+        from PIL import Image as PILImage
+
+        cfg = self.config
+        cam = self.camera
+        os.makedirs("debug_preprocessing", exist_ok=True)
+
+        def dump(stage, img_u16):
+            arr = np.asarray(img_u16).astype(np.float32)
+            vmax = cfg.depth_scaling * cfg.max_depth
+            vis = np.clip(255.0 * arr / max(vmax, 1.0), 0, 255) \
+                .astype(np.uint8)
+            PILImage.fromarray(vis).save(
+                f"debug_preprocessing/frame{frame_index:06d}_{stage}.png")
+
+        d = pp.bilateral_filter_and_cutoff(
+            depth, cfg.bilateral_filter_sigma_xy,
+            cfg.bilateral_filter_sigma_depth_factor,
+            cfg.bilateral_filter_radius_factor,
+            int(cfg.depth_scaling * cfg.max_depth),
+            cfg.depth_valid_region_radius)
+        dump("1_bilateral", d)
+        d = pp.outlier_depth_map_fusion(
+            d, others, T, cam.fx, cam.fy, cam.cx, cam.cy,
+            cfg.outlier_filtering_depth_tolerance_factor, required)
+        dump("2_outlier_filtered", d)
+        d = pp.erode_depth(d, cfg.depth_erosion_radius)
+        dump("3_eroded", d)
+        d, _ = pp.compute_normals_and_drop_bad_pixels(
+            d, cfg.observation_angle_threshold_deg, cfg.depth_scaling,
+            cam.fx, cam.fy, cam.cx, cam.cy)
+        dump("4_bad_normals_dropped", d)
+        d, _ = pp.compute_point_radii_and_remove_isolated(
+            d, cfg.point_radius_extension_factor,
+            cfg.point_radius_clamp_factor, cfg.depth_scaling,
+            cam.fx, cam.fy, cam.cx, cam.cy)
+        dump("5_isolated_removed", d)
 
     # -- outputs ------------------------------------------------------------
 

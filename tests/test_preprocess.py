@@ -190,3 +190,40 @@ class TestFullChain:
         # Normals have unit-or-less xy magnitude, radii positive where valid.
         assert np.all(np.linalg.norm(nrm[valid], axis=-1) <= 1.0 + 1e-5)
         assert np.all(rad[valid] > 0)
+
+
+class TestMedianDensify:
+    def test_matches_reference_semantics(self):
+        """MedianFilterAndDensifyDepthMap golden (main.cc:207-252)."""
+        rng = np.random.default_rng(11)
+        depth = rng.integers(1000, 2000, (12, 16)).astype(np.uint16)
+        depth[rng.random((12, 16)) < 0.3] = 0
+
+        def golden(d):
+            h, w = d.shape
+            out = np.zeros_like(d)
+            for y in range(h):
+                for x in range(w):
+                    vals = []
+                    for dy in range(max(0, y - 1), min(h - 1, y + 1) + 1):
+                        for dx in range(max(0, x - 1),
+                                        min(w - 1, x + 1) + 1):
+                            if d[dy, dx] != 0:
+                                vals.append(int(d[dy, dx]))
+                    if len(vals) >= 2:
+                        vals.sort()
+                        if len(vals) % 2 == 0:
+                            avg = sum(vals) / len(vals)
+                            lo = vals[len(vals) // 2 - 1]
+                            hi = vals[len(vals) // 2]
+                            out[y, x] = lo if abs(lo - avg) < abs(hi - avg) \
+                                else hi
+                        else:
+                            out[y, x] = vals[len(vals) // 2]
+                    else:
+                        out[y, x] = d[y, x]
+            return out
+
+        got = np.asarray(pp.median_filter_and_densify(depth))
+        want = golden(depth)
+        np.testing.assert_array_equal(got, want)

@@ -165,3 +165,72 @@ class TestIncremental:
         tris = eng.get_triangles()
         # New surfels are meshed in.
         assert tris.max() >= 300
+
+
+class TestAdversarial:
+    def test_nasty_points(self):
+        """Clustered, duplicated, and extreme points must not crash or
+        corrupt state (test_octree.cc 'nasty points' pattern)."""
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+        pos[50:60] = pos[40]            # exact duplicates
+        pos[60:70] = pos[40] + 1e-7     # near-duplicates
+        pos[70] = [1e4, 1e4, 1e4]       # far outlier
+        pos[71] = [-1e4, -1e4, -1e4]
+        radius_sq = np.full(300, 0.02 ** 2, np.float32)
+        normals = np.tile(np.array([0, 0, -1], np.float32), (300, 1))
+        stamps = np.zeros(300, np.uint32)
+
+        eng = MeshingEngine()
+        eng.integrate(0, pos, radius_sq, normals, stamps)
+        eng.check_remeshing()
+        eng.triangulate()
+        tris = eng.get_triangles()
+        if len(tris):
+            assert np.all(tris[:, 0] != tris[:, 1])
+            assert np.all(tris[:, 1] != tris[:, 2])
+        # Engine stays queryable.
+        dist, idx = eng.find_neighbors(pos[40], 0.01, max_count=64)
+        assert len(idx) >= 10
+
+    def test_remove_all(self):
+        """Tombstoning every surfel empties the mesh (remove-all pattern)."""
+        pos, radius_sq, normals, stamps = plane_surfels(400, seed=12)
+        eng = MeshingEngine()
+        eng.integrate(0, pos, radius_sq, normals, stamps)
+        eng.check_remeshing()
+        eng.triangulate()
+        assert eng.triangle_count > 100
+
+        dead = np.full(400, -1.0, np.float32)
+        eng.integrate(1, pos, dead, normals, np.full(400, 1, np.uint32))
+        eng.check_remeshing()
+        eng.triangulate()
+        assert eng.triangle_count == 0
+        assert eng.merged_surfel_count == 400
+        dist, idx = eng.find_neighbors(pos[0], 1.0, max_count=64)
+        assert len(idx) == 0
+
+    def test_curved_surface(self):
+        """Sphere-patch triangulation with varying normals."""
+        rng = np.random.default_rng(13)
+        n = 800
+        theta = rng.uniform(0.2, 0.8, n)     # polar
+        phi = rng.uniform(0, 1.2, n)
+        r = 1.0
+        pos = np.stack([r * np.sin(theta) * np.cos(phi),
+                        r * np.sin(theta) * np.sin(phi),
+                        r * np.cos(theta)], axis=1).astype(np.float32)
+        normals = -pos / np.linalg.norm(pos, axis=1, keepdims=True)
+        normals = normals.astype(np.float32)
+        spacing = 1.2 / np.sqrt(n)
+        radius_sq = np.full(n, (2.5 * spacing) ** 2, np.float32)
+        stamps = np.zeros(n, np.uint32)
+
+        eng = MeshingEngine()
+        eng.integrate(0, pos, radius_sq, normals, stamps)
+        eng.check_remeshing()
+        eng.triangulate()
+        assert eng.triangle_count > 400
+        states = np.array([eng.meshing_state(i) for i in range(n)])
+        assert (states != MeshingEngine.FREE).mean() > 0.7

@@ -366,6 +366,37 @@ def median_filter_and_densify(depth: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.uint16)
 
 
+@functools.partial(jax.jit, static_argnames=("factor",))
+def downscale_median_excluding(depth: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """DownscaleUsingMedianWhileExcluding (image.h:1003-1053) for power-of-2
+    factors: each output pixel is the median of the non-zero values in its
+    factor x factor block (even counts pick the middle value closer to the
+    block average); all-invalid blocks stay 0.  Used for --pyramid_level
+    depth downscaling (main.cc:951-963)."""
+    h, w = depth.shape
+    ho, wo = h // factor, w // factor
+    blocks = depth[:ho * factor, :wo * factor] \
+        .reshape(ho, factor, wo, factor) \
+        .transpose(0, 2, 1, 3).reshape(ho, wo, factor * factor) \
+        .astype(jnp.int32)
+    valid = blocks > 0
+    count = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    big = jnp.where(valid, blocks, jnp.int32(65536))
+    ordered = jnp.sort(big, axis=-1)
+    k = factor * factor
+    mid_hi = jnp.take_along_axis(
+        ordered, jnp.clip(count // 2, 0, k - 1)[..., None], axis=-1)[..., 0]
+    mid_lo = jnp.take_along_axis(
+        ordered, jnp.clip(count // 2 - 1, 0, k - 1)[..., None],
+        axis=-1)[..., 0]
+    avg = jnp.sum(jnp.where(valid, blocks, 0), axis=-1).astype(jnp.float32) \
+        / jnp.maximum(count, 1).astype(jnp.float32)
+    lo_closer = jnp.abs(mid_lo.astype(jnp.float32) - avg) < \
+        jnp.abs(mid_hi.astype(jnp.float32) - avg)
+    median = jnp.where((count % 2 == 0) & lo_closer, mid_lo, mid_hi)
+    return jnp.where(count > 0, median, 0).astype(jnp.uint16)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sigma_xy", "sigma_value_factor", "radius_factor", "max_depth_u16",
     "depth_valid_region_radius", "required_inliers", "erosion_radius",

@@ -121,9 +121,13 @@ class ReconstructionPipeline:
         if color.ndim == 2:
             color = np.stack([color] * 3, axis=-1)
         color = color[..., :3].astype(np.uint8)
-        if cfg.pyramid_level > 0:
-            step = 1 << cfg.pyramid_level
-            color = color[::step, ::step]
+        for _ in range(cfg.pyramid_level):
+            # Color pyramid via 2x2 box averaging (ImagePyramid analog,
+            # main.cc:977-980).
+            h2, w2 = color.shape[0] // 2 * 2, color.shape[1] // 2 * 2
+            c = color[:h2, :w2].astype(np.uint16)
+            color = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] +
+                      c[1::2, 1::2] + 2) // 4).astype(np.uint8)
         # Plane-major (3, H, W) for TPU-friendly tiling.
         color = np.ascontiguousarray(color.transpose(2, 0, 1))
 
@@ -153,8 +157,8 @@ class ReconstructionPipeline:
 
         depth = self._depth_buffers[frame_index]
         if cfg.pyramid_level > 0:
-            step = 1 << cfg.pyramid_level
-            depth = depth[::step, ::step]
+            depth = pp.downscale_median_excluding(
+                depth, 1 << cfg.pyramid_level)
 
         ref_pose_scaled = video.depth_frames[frame_index].global_T_frame \
             .scaled_translation(cfg.depth_scaling)
@@ -165,8 +169,8 @@ class ReconstructionPipeline:
             other_index = frame_index + offset
             other = self._depth_buffers[other_index]
             if cfg.pyramid_level > 0:
-                step = 1 << cfg.pyramid_level
-                other = other[::step, ::step]
+                other = pp.downscale_median_excluding(
+                    other, 1 << cfg.pyramid_level)
             others.append(other)
             other_pose_scaled = video.depth_frames[other_index] \
                 .global_T_frame.scaled_translation(cfg.depth_scaling)

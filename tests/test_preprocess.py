@@ -227,3 +227,43 @@ class TestMedianDensify:
         got = np.asarray(pp.median_filter_and_densify(depth))
         want = golden(depth)
         np.testing.assert_array_equal(got, want)
+
+
+class TestPyramidDownscale:
+    def test_median_exclude_blocks(self):
+        depth = np.zeros((4, 4), np.uint16)
+        depth[0, 0] = 100     # block (0,0): values 100 only -> 100
+        depth[0, 2] = 10      # block (0,1): 10, 20 -> even: closer to avg
+        depth[0, 3] = 20
+        # block (1,0): all zero -> 0
+        depth[2, 2:4] = (5, 7)
+        depth[3, 2:4] = (9, 1000)  # block (1,1): 5,7,9,1000
+        got = np.asarray(pp.downscale_median_excluding(depth, 2))
+        assert got.shape == (2, 2)
+        assert got[0, 0] == 100
+        assert got[0, 1] in (10, 20)
+        # avg=15, |10-15| == |20-15| -> NOT strictly closer -> high value
+        assert got[0, 1] == 20
+        assert got[1, 0] == 0
+        # avg=255.25; mid values 7, 9; |7-255| > |9-255| -> 9
+        assert got[1, 1] == 9
+
+    def test_pipeline_pyramid_level(self, tmp_path):
+        from surfelmeshing_tpu.config import SurfelMeshingConfig
+        from surfelmeshing_tpu.io.synthetic import write_tum_dataset
+        from surfelmeshing_tpu.io.tum import read_tum_rgbd_dataset
+        from surfelmeshing_tpu.pipeline import ReconstructionPipeline
+
+        path = write_tum_dataset(str(tmp_path / "ds"), num_frames=5,
+                                 width=64, height=48)
+        video = read_tum_rgbd_dataset(path, "groundtruth.txt", 0.2)
+        cfg = SurfelMeshingConfig(
+            max_surfel_count=16384, outlier_filtering_frame_count=2,
+            depth_erosion_radius=1, depth_valid_region_radius=1000.0,
+            pyramid_level=1)
+        pipe = ReconstructionPipeline(cfg, video.depth_camera)
+        assert pipe.camera.width == 32 and pipe.camera.height == 24
+        for i in range(video.frame_count - 1):
+            pipe.process_frame(video, i)
+        pipe.block_until_ready()
+        assert pipe.surfel_count() > 50

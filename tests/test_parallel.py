@@ -57,3 +57,23 @@ def test_batched_step_runs_on_mesh():
                          jnp.int32(1))
     counts2 = np.asarray(state.surfel_count)
     assert np.all(counts2 <= counts * 1.1)
+
+
+def test_multi_sequence_app(tmp_path):
+    """Batched multi-sequence runner end-to-end on the CPU mesh."""
+    from surfelmeshing_tpu.app.multi_sequence import run_batched
+    from surfelmeshing_tpu.io.mesh_io import read_ply
+    from surfelmeshing_tpu.io.synthetic import write_tum_dataset
+
+    dirs = []
+    for i in range(2):
+        d = write_tum_dataset(str(tmp_path / f"seq{i}"), num_frames=5,
+                              width=64, height=48)
+        dirs.append(d)
+    counts = run_batched(dirs, "groundtruth.txt", max_surfel_count=16384,
+                         outlier_filtering_frame_count=2,
+                         output_dir=str(tmp_path / "out"))
+    assert len(counts) == 2
+    assert all(c > 50 for c in counts)
+    rec = read_ply(str(tmp_path / "out" / "seq0.ply"))
+    assert len(rec) > 50

@@ -363,12 +363,12 @@ def integrate_frame(
     merge_on = in_count & (radius_col >= 0) & in_image
     m_on, m_conflict = associate_checks(rows_pre_a, merge_on)
 
+    # Associate- and merge-phase conflicts at pixel A share the index stream.
     conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
     conflicting_surfels = conflicting_surfels.at[jnp.concatenate([
-        jnp.where(conflict_a, pix_a, INVALID_INDEX),
-        jnp.where(conflict_b, pix_b, INVALID_INDEX),
-        jnp.where(m_conflict, pix_a, INVALID_INDEX)])].min(
-        jnp.concatenate([idx, idx, idx]), mode="drop")
+        jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
+        jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
+        jnp.concatenate([idx, idx]), mode="drop")
 
     supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
     supporting_surfels = supporting_surfels.at[jnp.concatenate([

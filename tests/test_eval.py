@@ -55,3 +55,31 @@ def test_obj_roundtrip(tmp_path):
     v2, t2 = load_obj_vertices_triangles(path)
     assert len(v2) == 4 and len(t2) == 2
     np.testing.assert_allclose(v2, v, atol=1e-6)
+
+
+def test_evaluate_sequence_app(tmp_path):
+    """End-to-end eval app: synthetic dataset vs. its known wall plane."""
+    from surfelmeshing_tpu.app.evaluate import evaluate_sequence
+    from surfelmeshing_tpu.io.synthetic import write_tum_dataset
+
+    ds = write_tum_dataset(str(tmp_path / "ds"), num_frames=6,
+                           width=64, height=48)
+    # Ground truth: dense samples of the back wall + floor + sphere.
+    rng = np.random.default_rng(0)
+    wall = np.stack([rng.uniform(-2, 2, 60000), rng.uniform(-2, 0.8, 60000),
+                     np.full(60000, 2.5)], axis=1)
+    floor = np.stack([rng.uniform(-2, 2, 30000), np.full(30000, 0.8),
+                      rng.uniform(0, 2.5, 30000)], axis=1)
+    u = rng.normal(size=(20000, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    sphere = np.array([0.0, 0.3, 1.8]) + 0.35 * u
+    gt = np.concatenate([wall, floor, sphere]).astype(np.float32)
+    from surfelmeshing_tpu.io.mesh_io import write_ply
+    gt_path = str(tmp_path / "gt.ply")
+    write_ply(gt_path, gt)
+
+    res = evaluate_sequence(ds, "groundtruth.txt", gt_path,
+                            max_surfel_count=32768,
+                            outlier_filtering_frame_count=2)
+    assert res.n_points > 100
+    assert res.median < 0.01   # reconstruction lies on the scene

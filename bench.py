@@ -29,7 +29,7 @@ def main():
     from surfelmeshing_tpu.ops import preprocess as pp
     from surfelmeshing_tpu.ops.fusion import (FusionParams,
                                               create_surfel_state,
-                                              integrate_frame)
+                                              integrate_frame_bucketed)
 
     W, H = 640, 480
     SCALE = 5000.0
@@ -75,6 +75,9 @@ def main():
         fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
 
     state = jax.device_put(create_surfel_state(CAP), device)
+    budget = params.max_creations_per_frame
+    count_bound = [0]
+    pending = []   # 2-frame-lagged async count readbacks
 
     def step(state, i):
         others = jnp.stack([depths[i + off]
@@ -85,8 +88,26 @@ def main():
         T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
-        return integrate_frame(state, d, normals, radius, colors[i],
-                               T_gl, T_lg, jnp.int32(i), params)
+        # Bucketed-shape dispatch (cost tracks live map size, like the
+        # pipeline driver); count readbacks are 2 frames behind, so add
+        # 3 frames of creation headroom.
+        if len(pending) >= 2:
+            count_bound[0] = int(pending.pop(0)) + 2 * budget
+        else:
+            count_bound[0] += budget
+        n_eff = min(CAP, max(2 * budget, 1 << int(
+            np.ceil(np.log2(max(1, count_bound[0] + budget))))))
+        state = integrate_frame_bucketed(state, d, normals, radius,
+                                         colors[i], T_gl, T_lg,
+                                         jnp.int32(i), params, n_eff)
+        # Copy the scalar: the state buffer itself is donated next frame.
+        count_handle = state.surfel_count + 0
+        pending.append(count_handle)
+        try:
+            count_handle.copy_to_host_async()
+        except AttributeError:
+            pass
+        return state
 
     lo, hi = K // 2, NUM_FRAMES - K // 2
     # Warmup (compile + first frames).

@@ -164,8 +164,9 @@ class FusionParams:
     surfel_integration_active_window_size: int = 2**31 - 1
     # Static per-frame creation budget.  Creations beyond it are dropped and
     # re-attempted next frame (their pixels stay unsupported), so bursts ramp
-    # over a few frames; a tight budget keeps the creation scatter small.
-    max_creations_per_frame: int = 2**17
+    # over a few frames; a tight budget keeps the creation scatter small and
+    # the bucketed-shape bound tight.
+    max_creations_per_frame: int = 2**16
     # Profiling aid: stop the compiled program after phase k (1=min-depth,
     # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99
@@ -260,6 +261,66 @@ def integrate_frame(
 ) -> SurfelState:
     """One fusion step == CUDASurfelReconstruction::Integrate
     (cuda_surfel_reconstruction.cc:112-320)."""
+    return _integrate_body(state, depth, normals_xy, radius_img, color,
+                           global_T_local, local_T_global, frame_index,
+                           params)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_eff"),
+                   donate_argnums=(0,))
+def integrate_frame_bucketed(
+    state: SurfelState,
+    depth: jnp.ndarray,
+    normals_xy: jnp.ndarray,
+    radius_img: jnp.ndarray,
+    color: jnp.ndarray,
+    global_T_local: jnp.ndarray,
+    local_T_global: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    params: FusionParams,
+    n_eff: int,
+) -> SurfelState:
+    """integrate_frame over only the first n_eff surfel slots.
+
+    Every per-surfel stream costs O(n) regardless of how many slots are live,
+    so the driver picks n_eff = next bucket above surfel_count (+ creation
+    headroom) and this variant runs the whole update on sliced views, then
+    writes the rows back.  Requires n_eff >= surfel_count +
+    max_creations_per_frame so in-frame creations stay inside the slice."""
+    n = state.pack.shape[0]
+    if n_eff >= n:
+        return _integrate_body(state, depth, normals_xy, radius_img, color,
+                               global_T_local, local_T_global, frame_index,
+                               params)
+    sub = SurfelState(
+        pack=state.pack[:n_eff],
+        neighbors=state.neighbors[:n_eff],
+        surfel_count=state.surfel_count,
+        merge_count=state.merge_count,
+        overflow_count=state.overflow_count)
+    sub = _integrate_body(sub, depth, normals_xy, radius_img, color,
+                          global_T_local, local_T_global, frame_index,
+                          params)
+    return state._replace(
+        pack=jax.lax.dynamic_update_slice(state.pack, sub.pack, (0, 0)),
+        neighbors=jax.lax.dynamic_update_slice(state.neighbors,
+                                               sub.neighbors, (0, 0)),
+        surfel_count=sub.surfel_count,
+        merge_count=sub.merge_count,
+        overflow_count=sub.overflow_count)
+
+
+def _integrate_body(
+    state: SurfelState,
+    depth: jnp.ndarray,
+    normals_xy: jnp.ndarray,
+    radius_img: jnp.ndarray,
+    color: jnp.ndarray,
+    global_T_local: jnp.ndarray,
+    local_T_global: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    params: FusionParams,
+) -> SurfelState:
     n = state.pack.shape[0]
     h, w = params.height, params.width
     hw = h * w

@@ -21,7 +21,8 @@ from .config import SurfelMeshingConfig
 from .io.tum import RGBDVideo
 from .ops import preprocess as pp
 from .ops.fusion import (FusionParams, SurfelState, create_surfel_state,
-                         export_vertices, integrate_frame, meshing_snapshot)
+                         export_vertices, integrate_frame_bucketed,
+                         meshing_snapshot)
 from .utils.camera import PinholeCamera
 from .utils.se3 import SE3
 from .utils.timing import Timing, format_frame_timings_line
@@ -74,6 +75,13 @@ class ReconstructionPipeline:
         # Resident depth-frame window (ring buffer keyed by frame index),
         # mirroring frame_index_to_depth_buffer (main.cc:904-968).
         self._depth_buffers: Dict[int, jnp.ndarray] = {}
+
+        # Bucketed-shape dispatch: the per-frame fusion program runs over the
+        # next power-of-2 above the surfel count (+ creation headroom), so its
+        # cost tracks the live map size, not the 20M capacity.  The count is
+        # read back asynchronously with one frame of lag.
+        self._count_upper_bound = 0
+        self._pending_counts = []   # 2-frame-lagged async readbacks
 
     # -- frame window management -------------------------------------------
 
@@ -135,11 +143,32 @@ class ReconstructionPipeline:
         T_gl = pose.matrix3x4().astype(np.float32)
         T_lg = pose.inverse().matrix3x4().astype(np.float32)
 
+        # Refresh the (lagged) surfel-count bound and pick the shape bucket;
+        # readbacks are 2 frames behind, so add 3 frames of creation headroom.
+        budget = self.fusion_params.max_creations_per_frame
+        if len(self._pending_counts) >= 2:
+            self._count_upper_bound = \
+                int(self._pending_counts.pop(0)) + 2 * budget
+        else:
+            self._count_upper_bound += budget
+        n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
+            1, self._count_upper_bound + budget)))))
+        n_eff = min(n_eff, self.config.max_surfel_count)
+
         with self.timing.timer("integration"):
-            self.state = integrate_frame(
+            self.state = integrate_frame_bucketed(
                 self.state, depth, normals, radius, jnp.asarray(color),
                 jnp.asarray(T_gl), jnp.asarray(T_lg),
-                jnp.int32(frame_index), self.fusion_params)
+                jnp.int32(frame_index), self.fusion_params, n_eff)
+
+        # Kick off the async count readback for a later frame's bucket.
+        # Copy the scalar: the state buffer itself is donated next frame.
+        count_handle = self.state.surfel_count + 0
+        self._pending_counts.append(count_handle)
+        try:
+            count_handle.copy_to_host_async()
+        except AttributeError:
+            pass
 
         # Retire the depth frame that just left the window.
         self._retire_depth(frame_index - half_window)

@@ -89,10 +89,10 @@ def main():
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
         # Bucketed-shape dispatch (cost tracks live map size, like the
-        # pipeline driver); count readbacks are 2 frames behind, so add
-        # 3 frames of creation headroom.
-        if len(pending) >= 2:
-            count_bound[0] = int(pending.pop(0)) + 2 * budget
+        # pipeline driver); count readbacks are 1 frame behind, so add
+        # 2 frames of creation headroom.
+        if len(pending) >= 1:
+            count_bound[0] = int(pending.pop(0)) + budget
         else:
             count_bound[0] += budget
         n_eff = min(CAP, max(2 * budget, 1 << int(

@@ -166,7 +166,7 @@ class FusionParams:
     # re-attempted next frame (their pixels stay unsupported), so bursts ramp
     # over a few frames; a tight budget keeps the creation scatter small and
     # the bucketed-shape bound tight.
-    max_creations_per_frame: int = 2**16
+    max_creations_per_frame: int = 2**15
     # Profiling aid: stop the compiled program after phase k (1=min-depth,
     # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99

@@ -144,11 +144,11 @@ class ReconstructionPipeline:
         T_lg = pose.inverse().matrix3x4().astype(np.float32)
 
         # Refresh the (lagged) surfel-count bound and pick the shape bucket;
-        # readbacks are 2 frames behind, so add 3 frames of creation headroom.
+        # readbacks are 1 frame behind, so add 2 frames of creation headroom.
         budget = self.fusion_params.max_creations_per_frame
-        if len(self._pending_counts) >= 2:
+        if len(self._pending_counts) >= 1:
             self._count_upper_bound = \
-                int(self._pending_counts.pop(0)) + 2 * budget
+                int(self._pending_counts.pop(0)) + budget
         else:
             self._count_upper_bound += budget
         n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(

@@ -23,6 +23,13 @@ sys.path.insert(0, ".")
 
 def main():
     import jax
+
+    # Persistent compilation cache: bucket compiles are minutes-long on a
+    # tunneled TPU; cache them across bench runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
@@ -89,12 +96,11 @@ def main():
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
         # Bucketed-shape dispatch (cost tracks live map size, like the
-        # pipeline driver); count readbacks are 1 frame behind, so add
-        # 2 frames of creation headroom.
-        if len(pending) >= 1:
-            count_bound[0] = int(pending.pop(0)) + budget
-        else:
-            count_bound[0] += budget
+        # pipeline driver).  Only completed (non-blocking) readbacks update
+        # the bound; each un-read frame adds one budget of headroom.
+        while pending and pending[0].is_ready():
+            count_bound[0] = int(pending.pop(0))
+        count_bound[0] += budget
         n_eff = min(CAP, max(2 * budget, 1 << int(
             np.ceil(np.log2(max(1, count_bound[0] + budget))))))
         state = integrate_frame_bucketed(state, d, normals, radius,

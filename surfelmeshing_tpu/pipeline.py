@@ -143,14 +143,13 @@ class ReconstructionPipeline:
         T_gl = pose.matrix3x4().astype(np.float32)
         T_lg = pose.inverse().matrix3x4().astype(np.float32)
 
-        # Refresh the (lagged) surfel-count bound and pick the shape bucket;
-        # readbacks are 1 frame behind, so add 2 frames of creation headroom.
+        # Refresh the (lagged) surfel-count bound and pick the shape bucket.
+        # Only completed (non-blocking) readbacks update the bound; each
+        # un-read frame adds one creation budget of headroom.
         budget = self.fusion_params.max_creations_per_frame
-        if len(self._pending_counts) >= 1:
-            self._count_upper_bound = \
-                int(self._pending_counts.pop(0)) + budget
-        else:
-            self._count_upper_bound += budget
+        while self._pending_counts and self._pending_counts[0].is_ready():
+            self._count_upper_bound = int(self._pending_counts.pop(0))
+        self._count_upper_bound += budget
         n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
             1, self._count_upper_bound + budget)))))
         n_eff = min(n_eff, self.config.max_surfel_count)

@@ -248,3 +248,49 @@ class TestEndToEndFusion:
         dist = np.minimum(np.minimum(d_wall, d_floor), d_sphere)
         # Mean distance to the true surface well under 5 mm.
         assert dist.mean() < 0.005
+
+
+class TestBlending:
+    def _blend(self, depth, supporting, counts, sums, radius=6):
+        import jax.numpy as jnp
+        from surfelmeshing_tpu.ops.fusion import _blend_measurements
+
+        params = FusionParams(
+            width=depth.shape[1], height=depth.shape[0], fx=FX, fy=FY,
+            cx=CX, cy=CY, depth_scaling=SCALE,
+            measurement_blending_radius=radius)
+        return np.asarray(_blend_measurements(
+            params, jnp.asarray(depth), jnp.asarray(supporting),
+            jnp.asarray(counts), jnp.asarray(sums)))
+
+    def test_zero_delta_is_identity(self):
+        """If the supporting-surfel average equals the measurement, blending
+        must not change the depth map."""
+        h, w = 24, 32
+        depth = np.full((h, w), 10000, np.uint16)
+        supporting = np.zeros((h, w), np.int32)       # all supported (idx 0)
+        counts = np.ones((h, w), np.int32)
+        sums = np.full((h, w), 10000 / SCALE, np.float32)  # avg == depth
+        out = self._blend(depth, supporting, counts, sums)
+        np.testing.assert_array_equal(out, depth)
+
+    def test_feathering_decays_from_border(self):
+        """Surfels deeper than the measurement pull border depths toward the
+        surfel average, with decaying weight over the rings
+        (kernels.cu:563-738)."""
+        h, w = 24, 32
+        depth = np.full((h, w), 10000, np.uint16)
+        depth[:, :4] = 0                              # measurement border
+        supporting = np.zeros((h, w), np.int32)
+        counts = np.ones((h, w), np.int32)
+        delta_m = 0.04                                # surfels 0.04 m deeper
+        sums = np.full((h, w), 10000 / SCALE + delta_m, np.float32)
+        out = self._blend(depth, supporting, counts, sums, radius=6)
+        # Border-adjacent valid pixels snap to the surfel average.
+        assert abs(int(out[12, 4]) - int(10000 + SCALE * delta_m)) <= 1
+        # Rings decay back toward the raw measurement.
+        ring_vals = [int(out[12, 4 + i]) for i in range(6)]
+        assert all(ring_vals[i] >= ring_vals[i + 1] - 1 for i in range(5))
+        assert ring_vals[-1] >= 10000
+        # Far away: untouched.
+        assert out[12, 25] == 10000

@@ -36,7 +36,7 @@ def main():
     from surfelmeshing_tpu.ops import preprocess as pp
     from surfelmeshing_tpu.ops.fusion import (FusionParams,
                                               create_surfel_state,
-                                              integrate_frame_bucketed)
+                                              integrate_frame)
 
     W, H = 640, 480
     SCALE = 5000.0
@@ -82,9 +82,6 @@ def main():
         fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
 
     state = jax.device_put(create_surfel_state(CAP), device)
-    budget = params.max_creations_per_frame
-    count_bound = [0]
-    pending = []   # 2-frame-lagged async count readbacks
 
     def step(state, i):
         others = jnp.stack([depths[i + off]
@@ -95,25 +92,11 @@ def main():
         T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
-        # Bucketed-shape dispatch (cost tracks live map size, like the
-        # pipeline driver).  Only completed (non-blocking) readbacks update
-        # the bound; each un-read frame adds one budget of headroom.
-        while pending and pending[0].is_ready():
-            count_bound[0] = int(pending.pop(0))
-        count_bound[0] += budget
-        n_eff = min(CAP, max(2 * budget, 1 << int(
-            np.ceil(np.log2(max(1, count_bound[0] + budget))))))
-        state = integrate_frame_bucketed(state, d, normals, radius,
-                                         colors[i], T_gl, T_lg,
-                                         jnp.int32(i), params, n_eff)
-        # Copy the scalar: the state buffer itself is donated next frame.
-        count_handle = state.surfel_count + 0
-        pending.append(count_handle)
-        try:
-            count_handle.copy_to_host_async()
-        except AttributeError:
-            pass
-        return state
+        # Full-capacity shapes: ONE compiled program for the whole run.
+        # (Bucketed shapes — integrate_frame_bucketed — trade extra compiles
+        # for count-proportional cost; off here for benchmark determinism.)
+        return integrate_frame(state, d, normals, radius, colors[i],
+                               T_gl, T_lg, jnp.int32(i), params)
 
     lo, hi = K // 2, NUM_FRAMES - K // 2
     # Warmup (compile + first frames).

@@ -226,6 +226,15 @@ def run(cfg: SurfelMeshingConfig) -> int:
     processed_frames = 0
     last_frame = None
 
+    profiler_ctx = None
+    if cfg.profile_dir:
+        import contextlib
+
+        import jax
+        profiler_ctx = jax.profiler.trace(cfg.profile_dir)
+        profiler_ctx.__enter__()
+        logger.info("profiling to %s", cfg.profile_dir)
+
     frame_range = range(cfg.start_frame, end_frame - half_window)
     for frame_index in frame_range:
         frame_start = time.perf_counter()
@@ -287,6 +296,14 @@ def run(cfg: SurfelMeshingConfig) -> int:
                 frame_count_misses += 1
 
     pipe.block_until_ready()
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
+    overflow = int(pipe.state.overflow_count)
+    if overflow > 0:
+        # The reference aborts on exceeding --max_surfel_count
+        # (README.md:105-107); we keep the partial map but report loudly.
+        logger.error("max_surfel_count exceeded: %d surfel creations were "
+                     "dropped — increase --max_surfel_count", overflow)
     logger.info("done: %d surfels, fps target hit %d / missed %d",
                 pipe.surfel_count(), frame_count_hits, frame_count_misses)
     logger.info("%s", pipe.timing.report())

@@ -98,6 +98,13 @@ class SurfelMeshingConfig:
     visualize_radii: bool = False
     visualize_surfel_normals: bool = False
     log_timings: Optional[str] = None
+    profile_dir: Optional[str] = None   # jax.profiler trace output (TPU-side
+                                        # analog of the reference's cudaEvent
+                                        # stage timing, main.cc:765-796)
+    # Compile the fusion step per power-of-2 surfel-count bucket so its cost
+    # tracks the live map size instead of max_surfel_count.  Worth it on
+    # locally-attached TPUs; each bucket costs one (cacheable) compile.
+    use_shape_buckets: bool = False
 
     # --- Required input paths (main.cc:595-604) ---
     dataset_folder_path: Optional[str] = None
@@ -225,6 +232,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize_radii", action="store_true")
     p.add_argument("--visualize_surfel_normals", action="store_true")
     p.add_argument("--log_timings", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None)
 
     # Required input paths (sequential parameters in the reference).
     p.add_argument("dataset_folder_path", type=str, nargs="?")
@@ -316,6 +324,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         visualize_radii=args.visualize_radii,
         visualize_surfel_normals=args.visualize_surfel_normals,
         log_timings=args.log_timings,
+        profile_dir=args.profile_dir,
         dataset_folder_path=args.dataset_folder_path,
         trajectory_filename=args.trajectory_filename,
     )

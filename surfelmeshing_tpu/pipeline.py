@@ -143,16 +143,20 @@ class ReconstructionPipeline:
         T_gl = pose.matrix3x4().astype(np.float32)
         T_lg = pose.inverse().matrix3x4().astype(np.float32)
 
-        # Refresh the (lagged) surfel-count bound and pick the shape bucket.
-        # Only completed (non-blocking) readbacks update the bound; each
-        # un-read frame adds one creation budget of headroom.
-        budget = self.fusion_params.max_creations_per_frame
-        while self._pending_counts and self._pending_counts[0].is_ready():
-            self._count_upper_bound = int(self._pending_counts.pop(0))
-        self._count_upper_bound += budget
-        n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
-            1, self._count_upper_bound + budget)))))
-        n_eff = min(n_eff, self.config.max_surfel_count)
+        if self.config.use_shape_buckets:
+            # Refresh the (lagged) surfel-count bound and pick the shape
+            # bucket.  Only completed (non-blocking) readbacks update the
+            # bound; each un-read frame adds one creation budget of headroom.
+            budget = self.fusion_params.max_creations_per_frame
+            while self._pending_counts and \
+                    self._pending_counts[0].is_ready():
+                self._count_upper_bound = int(self._pending_counts.pop(0))
+            self._count_upper_bound += budget
+            n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
+                1, self._count_upper_bound + budget)))))
+            n_eff = min(n_eff, self.config.max_surfel_count)
+        else:
+            n_eff = self.config.max_surfel_count
 
         with self.timing.timer("integration"):
             self.state = integrate_frame_bucketed(
@@ -160,14 +164,15 @@ class ReconstructionPipeline:
                 jnp.asarray(T_gl), jnp.asarray(T_lg),
                 jnp.int32(frame_index), self.fusion_params, n_eff)
 
-        # Kick off the async count readback for a later frame's bucket.
-        # Copy the scalar: the state buffer itself is donated next frame.
-        count_handle = self.state.surfel_count + 0
-        self._pending_counts.append(count_handle)
-        try:
-            count_handle.copy_to_host_async()
-        except AttributeError:
-            pass
+        if self.config.use_shape_buckets:
+            # Kick off the async count readback for a later frame's bucket.
+            # Copy the scalar: the state buffer itself is donated next frame.
+            count_handle = self.state.surfel_count + 0
+            self._pending_counts.append(count_handle)
+            try:
+                count_handle.copy_to_host_async()
+            except AttributeError:
+                pass
 
         # Retire the depth frame that just left the window.
         self._retire_depth(frame_index - half_window)

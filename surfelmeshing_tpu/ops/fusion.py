@@ -327,8 +327,6 @@ def _integrate_body(
     noise = params.sensor_noise_factor
     inv_scale = jnp.float32(1.0 / params.depth_scaling)
     cos_compat = jnp.float32(params.cos_normal_compat)
-    reg_factor_sq = jnp.float32(
-        params.radius_factor_for_regularization_neighbors ** 2)
 
     frame_index = jnp.asarray(frame_index, jnp.int32)
     pack = state.pack

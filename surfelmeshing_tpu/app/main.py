@@ -189,9 +189,18 @@ def run(cfg: SurfelMeshingConfig) -> int:
         return 1
 
     if cfg.invert_quaternions:
-        for frame in list(video.color_frames) + list(video.depth_frames):
-            q = frame.global_T_frame.q
-            frame.global_T_frame.q[:3] = -q[:3]
+        # Reference quirk preserved (main.cc:632-642): color frames get the
+        # conjugated quaternion; depth frames additionally get the whole
+        # pose inverted.
+        for frame in video.color_frames:
+            q = frame.global_T_frame.q.copy()
+            frame.global_T_frame = SE3([-q[0], -q[1], -q[2], q[3]],
+                                       frame.global_T_frame.t)
+        for frame in video.depth_frames:
+            q = frame.global_T_frame.q.copy()
+            inverted = SE3([-q[0], -q[1], -q[2], q[3]],
+                           frame.global_T_frame.t)
+            frame.global_T_frame = inverted.inverse()
 
     end_frame = min(cfg.end_frame, video.frame_count)
     half_window = cfg.outlier_filtering_frame_count // 2

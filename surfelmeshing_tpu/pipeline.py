@@ -71,6 +71,7 @@ class ReconstructionPipeline:
         )
         self.state: SurfelState = jax.device_put(
             create_surfel_state(config.max_surfel_count), self.device)
+        self._log_device_memory()
 
         # Resident depth-frame window (ring buffer keyed by frame index),
         # mirroring frame_index_to_depth_buffer (main.cc:904-968).
@@ -82,6 +83,21 @@ class ReconstructionPipeline:
         # read back asynchronously with one frame of lag.
         self._count_upper_bound = 0
         self._pending_counts = []   # 2-frame-lagged async readbacks
+
+    def _log_device_memory(self) -> None:
+        """Device memory report at init (cudaMemGetInfo analog,
+        main.cc:859-869)."""
+        import logging
+        try:
+            stats = self.device.memory_stats()
+            if stats:
+                in_use = stats.get("bytes_in_use", 0)
+                limit = stats.get("bytes_limit", 0)
+                logging.getLogger("surfelmeshing_tpu").info(
+                    "device memory: %.1f MiB in use / %.1f MiB limit",
+                    in_use / 2**20, limit / 2**20)
+        except Exception:  # noqa: BLE001 - informational only
+            pass
 
     # -- frame window management -------------------------------------------
 

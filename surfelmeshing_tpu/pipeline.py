@@ -11,6 +11,7 @@ main.cc:759-763,902-984, collapses into JAX's async dispatch).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, Optional
 
 import jax
@@ -138,8 +139,11 @@ class ReconstructionPipeline:
            frame_index >= video.frame_count - half_window:
             return None
 
-        with self.timing.timer("preprocessing"):
-            depth, normals, radius = self._preprocess(video, frame_index)
+        t0 = time.perf_counter()
+        depth, normals, radius = self._preprocess(video, frame_index)
+        t1 = time.perf_counter()
+        self.timing.add_time("preprocessing", t1 - t0)
+        self._last_stage_ms = {"preprocessing": 1000.0 * (t1 - t0)}
 
         color = np.asarray(video.color_frames[frame_index].get_image())
         if color.ndim == 2:
@@ -174,11 +178,14 @@ class ReconstructionPipeline:
         else:
             n_eff = self.config.max_surfel_count
 
-        with self.timing.timer("integration"):
-            self.state = integrate_frame_bucketed(
-                self.state, depth, normals, radius, jnp.asarray(color),
-                jnp.asarray(T_gl), jnp.asarray(T_lg),
-                jnp.int32(frame_index), self.fusion_params, n_eff)
+        t0 = time.perf_counter()
+        self.state = integrate_frame_bucketed(
+            self.state, depth, normals, radius, jnp.asarray(color),
+            jnp.asarray(T_gl), jnp.asarray(T_lg),
+            jnp.int32(frame_index), self.fusion_params, n_eff)
+        t1 = time.perf_counter()
+        self.timing.add_time("integration", t1 - t0)
+        self._last_stage_ms["integration"] = 1000.0 * (t1 - t0)
 
         if self.config.use_shape_buckets:
             # Kick off the async count readback for a later frame's bucket.
@@ -330,11 +337,11 @@ class ReconstructionPipeline:
         return int(alive.sum())
 
     def log_frame_timings(self, frame_index: int) -> None:
-        stage_ms = {}
-        for stage in ("preprocessing", "integration"):
-            stats = self.timing.stats(stage)
-            if stats:
-                stage_ms[stage] = 1000.0 * stats.mean
+        """Append one reference-format per-frame timings line
+        (main.cc:1531-1545).  NOTE: values are host dispatch times; device
+        execution is asynchronous (use --profile_dir for device-side
+        per-stage times)."""
         self.timings_log_lines.append(
-            format_frame_timings_line(frame_index, stage_ms,
-                                      self.surfel_count()))
+            format_frame_timings_line(
+                frame_index, getattr(self, "_last_stage_ms", {}),
+                self.surfel_count()))

@@ -167,6 +167,15 @@ class FusionParams:
     # over a few frames; a tight budget keeps the creation scatter small and
     # the bucketed-shape bound tight.
     max_creations_per_frame: int = 2**15
+    # Regularization cross-term accumulation:
+    #   True  (TPU-native default): gather over each surfel's own neighbor
+    #          slots assuming mutual adjacency — no scatter at all.  The
+    #          paper's objective sum_edges w (n . (p_i - p_j))^2 is symmetric,
+    #          so this computes the same gradient whenever links are mutual
+    #          (they almost always are: both ends pick nearest supporters).
+    #   False (reference parity): scatter-add the exact i->j cross terms like
+    #          the CUDA atomicAdd accumulation (kernels.cu:2115-2194).
+    symmetric_regularization: bool = True
     # Profiling aid: stop the compiled program after phase k (1=min-depth,
     # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99
@@ -976,19 +985,42 @@ def _regularize(params, pack, neighbors, frame_index):
     nbr_dist_sq = dx * dx + dy * dy + dz * dz
 
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
-    scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
-    term = factor[:, None] * ndot                            # (N, 4)
-    # NOTE: scalar scatter-adds measure faster than a fused 4-wide row
-    # scatter-add on this TPU generation; keep them separate.
-    grad_x = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * nx_[:, None]).reshape(-1), mode="drop")
-    grad_y = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * ny_[:, None]).reshape(-1), mode="drop")
-    grad_z = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        (term * nz_[:, None]).reshape(-1), mode="drop")
-    gcount = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-        jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
-                         use.shape).reshape(-1), mode="drop")
+    if params.symmetric_regularization:
+        # Gather the in-edge cross terms from each surfel's own slots,
+        # assuming mutual adjacency (see FusionParams docstring).  The term
+        # i contributes to j is factor_i * (n_i . (p_j - p_i)) * n_i; here j
+        # gathers (n_i, factor_i, w/cnt_i) from its slots and evaluates it
+        # with its own recency gating the edge (matching the direction the
+        # reference gates on, kernels.cu:2154-2161).
+        recent_self = stamps >= frame_index - window
+        wcnt = jnp.where(cnt > 0, w_reg / jnp.maximum(cnt, 1.0), 0.0)
+        factor_eff = jnp.where(cnt > 0, factor, 0.0)
+        nbr_side = jnp.stack([nx_, ny_, nz_, factor_eff, wcnt], axis=1)
+        side_rows = nbr_side[jnp.clip(neighbors, 0, n - 1)]   # (N, 4, 5)
+        edge_on = slot_valid & recent_self[:, None]
+        # p_j - p_i as seen from j = -(to_nbr computed from j) with i's data:
+        # to_nbr (above) is p_i - p_j, so negate.
+        in_dot = -(side_rows[..., 0] * dx + side_rows[..., 1] * dy +
+                   side_rows[..., 2] * dz)                    # n_i.(p_j-p_i)
+        contrib = jnp.where(edge_on, side_rows[..., 3] * in_dot, 0.0)
+        grad_x = jnp.sum(contrib * side_rows[..., 0], axis=-1)
+        grad_y = jnp.sum(contrib * side_rows[..., 1], axis=-1)
+        grad_z = jnp.sum(contrib * side_rows[..., 2], axis=-1)
+        gcount = jnp.sum(jnp.where(edge_on, side_rows[..., 4], 0.0), axis=-1)
+    else:
+        scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
+        term = factor[:, None] * ndot                        # (N, 4)
+        # NOTE: scalar scatter-adds measure faster than a fused 4-wide row
+        # scatter-add on this TPU generation; keep them separate.
+        grad_x = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+            (term * nx_[:, None]).reshape(-1), mode="drop")
+        grad_y = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+            (term * ny_[:, None]).reshape(-1), mode="drop")
+        grad_z = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+            (term * nz_[:, None]).reshape(-1), mode="drop")
+        gcount = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
+            jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
+                             use.shape).reshape(-1), mode="drop")
 
     # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
     drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][:, None])

@@ -316,11 +316,19 @@ class ReconstructionPipeline:
         jax.block_until_ready(self.state)
 
     def snapshot(self):
-        """SoA snapshot for the meshing engine (TransferAllToCPU analog)."""
+        """SoA snapshot for the meshing engine (TransferAllToCPU analog;
+        timed like the reference's surfel_transfer stage,
+        main.cc:1255-1266)."""
+        t0 = time.perf_counter()
         smooth, radius_sq, normal, stamps, count = meshing_snapshot(self.state)
         count = int(count)
-        return (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
-                np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
+        out = (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
+               np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
+        elapsed = time.perf_counter() - t0
+        self.timing.add_time("surfel_transfer", elapsed)
+        if hasattr(self, "_last_stage_ms"):
+            self._last_stage_ms["surfel_transfer"] = 1000.0 * elapsed
+        return out
 
     def export_point_cloud(self, path: str) -> int:
         """Save the surfel cloud as PLY (SavePointCloudAsPLY, main.cc:179-203);

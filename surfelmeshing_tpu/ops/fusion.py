@@ -176,6 +176,17 @@ class FusionParams:
     #   False (reference parity): scatter-add the exact i->j cross terms like
     #          the CUDA atomicAdd accumulation (kernels.cu:2115-2194).
     symmetric_regularization: bool = True
+    # Conflict arbitration:
+    #   False (TPU-native default): a surfel is the pixel's conflictor iff
+    #          first_depth == its depth (exact f32 equality — the same test
+    #          the reference uses, kernels.cu:1610-1618); the conflict MAP is
+    #          never materialized (its "pixel has a conflictor" role is the
+    #          elementwise test first < (1-noise)*meas).  Deviation from the
+    #          reference only when two distinct surfels project with bitwise-
+    #          equal depth to the same pixel (both then decrement).
+    #   True:  build the min-index conflictor map like the reference's
+    #          last-writer map, guaranteeing a single decrementer per pixel.
+    exact_conflict_arbitration: bool = False
     # Profiling aid: stop the compiled program after phase k (1=min-depth,
     # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99
@@ -431,12 +442,20 @@ def _integrate_body(
     merge_on = in_count & (radius_col >= 0) & in_image
     m_on, m_conflict = associate_checks(rows_pre_a, merge_on)
 
-    # Associate- and merge-phase conflicts at pixel A share the index stream.
-    conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-    conflicting_surfels = conflicting_surfels.at[jnp.concatenate([
-        jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
-        jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
-        jnp.concatenate([idx, idx]), mode="drop")
+    # Pixel-has-a-conflictor is elementwise: the conflict zone test
+    # first < (1-noise)*meas is exactly what every would-be marker passes,
+    # and the min-z surfel that wrote first_depth always evaluates it
+    # (kernels.cu:1610-1618).  The explicit min-index conflictor map is only
+    # materialized under exact_conflict_arbitration.
+    has_conflict = first_depth < (1.0 - noise) * depth_m_flat
+    if params.exact_conflict_arbitration:
+        conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
+        conflicting_surfels = conflicting_surfels.at[jnp.concatenate([
+            jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
+            jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
+            jnp.concatenate([idx, idx]), mode="drop")
+    else:
+        conflicting_surfels = None
 
     supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
     supporting_surfels = supporting_surfels.at[jnp.concatenate([
@@ -454,7 +473,7 @@ def _integrate_body(
         jnp.concatenate([z, z]), mode="drop")
     if params.debug_stop_after <= 2:
         return _dbg_return(first_depth, supporting_surfels, support_counts,
-                           support_depth_sums, conflicting_surfels)
+                           support_depth_sums, has_conflict)
 
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     supported = supporting_surfels[pix_a_c]
@@ -485,7 +504,7 @@ def _integrate_body(
         jnp.maximum(pack[:, DETACH], m_on.astype(jnp.float32)))
     merge_count = state.merge_count + jnp.sum(m_on.astype(jnp.int32))
     if params.debug_stop_after <= 3:
-        return _dbg_return(pack, supporting_surfels, conflicting_surfels,
+        return _dbg_return(pack, supporting_surfels, has_conflict,
                            first_depth, support_counts, support_depth_sums)
 
     # --- Phase 4: Measurement blending (kernels.cu:563-738, .cc:148-205) --
@@ -517,13 +536,17 @@ def _integrate_body(
     # Post-blend image pack, also carrying the supporting-surfel index of the
     # 4 adjacent pixels (regular shifts, not gathers) for phase 6.
     sup_f = _f32bits(supporting_surfels)
+    if params.exact_conflict_arbitration:
+        conflict_col = _f32bits(conflicting_surfels)
+    else:
+        conflict_col = jnp.zeros((hw,), jnp.float32)
     img_post = jnp.stack([
         depth_m_flat,                               # 0 meas (post-blend)
         pgx, pgy, pgz,                              # 1-3 global point
         ngx, ngy, ngz,                              # 4-6 global normal
         cr, cg, cb,                                 # 7-9 color
         support_counts.astype(jnp.float32),         # 10
-        _f32bits(conflicting_surfels),              # 11
+        conflict_col,                               # 11 conflictor map (opt)
         radius_flat,                                # 12
         mnx, mny, mnz,                              # 13-15 meas normal (cam)
         _shift_flat(sup_f, hw, -1),                 # 16 supporting at x-1
@@ -545,8 +568,9 @@ def _integrate_body(
         meas = rows[:, 0]
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
-        conflicting = on & conflict_zone & (first == z) & \
-            (_i32(rows[:, 11]) == idx)
+        conflicting = on & conflict_zone & (first == z)
+        if params.exact_conflict_arbitration:
+            conflicting = conflicting & (_i32(rows[:, 11]) == idx)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
@@ -638,8 +662,12 @@ def _integrate_body(
         return _dbg_return(neighbors, pack)
 
     # --- Phase 7: New surfel creation (kernels.cu:90-271, .cc:37-146) -----
+    if params.exact_conflict_arbitration:
+        conflict_free = conflicting_surfels == INVALID_INDEX
+    else:
+        conflict_free = ~has_conflict
     (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
-        params, depth, radius_flat, supporting_surfels, conflicting_surfels,
+        params, depth, radius_flat, supporting_surfels, conflict_free,
         img_post, depth_m_flat, pack, neighbors,
         state.surfel_count, state.overflow_count, frame_index)
     if params.debug_stop_after <= 7:
@@ -835,7 +863,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
 
 def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
-                        conflicting_surfels, img_post, depth_m_flat,
+                        conflict_free, img_post, depth_m_flat,
                         pack, neighbors, surfel_count, overflow_count,
                         frame_index):
     """Append a surfel for every unexplained valid depth pixel
@@ -854,8 +882,7 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     ys = lin // w
     interior = (xs >= 1) & (ys >= 1) & (xs < w - 1) & (ys < h - 1)
     flags_flat = interior & (depth.reshape(hw) > 0) & \
-        (supporting_surfels == INVALID_INDEX) & \
-        (conflicting_surfels == INVALID_INDEX)
+        (supporting_surfels == INVALID_INDEX) & conflict_free
 
     c_budget = min(params.max_creations_per_frame, hw)
 

@@ -831,15 +831,10 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
     slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
                           jnp.inf)
 
-    # Batch the 4 direction candidates into ONE gather stream.
-    cands = [_i32(rows_post_a[:, 16 + d]) for d in range(4)]
-    all_cand_rows = pn_pack[jnp.clip(
-        jnp.concatenate(cands), 0, n - 1)].reshape(4, -1, 6)
-
     for direction in range(4):
-        cand = cands[direction]
+        cand = _i32(rows_post_a[:, 16 + direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
-        cand_rows = all_cand_rows[direction]
+        cand_rows = pn_pack[jnp.clip(cand, 0, n - 1)]     # one narrow gather
         cdx = cand_rows[:, 0] - ox
         cdy = cand_rows[:, 1] - oy
         cdz = cand_rows[:, 2] - oz
@@ -906,14 +901,10 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     flags_f = flags_flat.astype(jnp.float32)
     prefix_f = prefix.astype(jnp.float32)
     ps_pack = pack[:, PX:SZ + 1]              # pos + smooth (6 cols)
-    # Batch the 4 adjacency supporter lookups into ONE gather stream.
-    sups = [_i32(img_post[:, 16 + k]) for k in range(4)]
-    all_sup_rows = ps_pack[jnp.clip(
-        jnp.concatenate(sups), 0, n - 1)].reshape(4, -1, 6)
     for k, shift in enumerate(shifts):
-        sup = sups[k]                         # supporting at that adjacency
+        sup = _i32(img_post[:, 16 + k])       # supporting at that adjacency
         has_sup = sup != INVALID_INDEX
-        sup_rows = all_sup_rows[k]
+        sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # one narrow row gather
         dx = sup_rows[:, 0] - pgx
         dy = sup_rows[:, 1] - pgy
         dz = sup_rows[:, 2] - pgz

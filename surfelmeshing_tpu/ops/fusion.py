@@ -49,17 +49,26 @@ MERGE_RADIUS_DIFF_THRESHOLD_SQ = 1.2 ** 2    # kernels.cu:1959-1960
 MERGE_DISTANCE_FACTOR = 0.5 * 0.25 * 0.25    # kernels.cu:1971
 MERGE_COS_NORMAL_THRESHOLD = 0.93969         # 20 deg, kernels.cu:1981
 
-# Pack column indices (analog of kSurfelX.. in kernels.cuh:49-78).
+# Pack column indices (analog of kSurfelX.. in kernels.cuh:49-78).  The
+# order is chosen so every hot gather reads ONE contiguous column slice
+# (gather cost scales with the index stream, not the row width, so wide
+# contiguous slices are free while concat-materializing a sub-pack is not):
+#   [SX..STAMP]   regularization distance gather
+#   [NX..RCNT]    regularization cross-term gather
+#   [PX..DETACH]  neighbor-update candidate/slot gather
+#   [PX..SZ]      creation supporter gather
+#   [PX..RAD]     merge gather
 PX, PY, PZ = 0, 1, 2          # raw position
 SX, SY, SZ = 3, 4, 5          # smoothed position
-NX, NY, NZ = 6, 7, 8          # normal
-CONF = 9                      # confidence
-RAD = 10                      # squared radius (-1 == merged away)
-CR, CG, CB = 11, 12, 13       # color (0..255 in f32)
-CREATION = 14                 # creation stamp (i32 bitcast)
-STAMP = 15                    # last-update stamp (i32 bitcast)
-DETACH = 16                   # neighbor detach request flag (0.0 / 1.0)
-PACK_WIDTH = 17
+STAMP = 6                     # last-update stamp (i32 bitcast)
+NX, NY, NZ = 7, 8, 9          # normal
+RCNT = 10                     # last-computed recent-neighbor count (f32)
+DETACH = 11                   # neighbor detach request flag (0.0 / 1.0)
+CONF = 12                     # confidence
+RAD = 13                      # squared radius (-1 == merged away)
+CR, CG, CB = 14, 15, 16       # color (0..255 in f32)
+CREATION = 17                 # creation stamp (i32 bitcast)
+PACK_WIDTH = 18
 
 
 def _i32(col: jnp.ndarray) -> jnp.ndarray:
@@ -463,14 +472,25 @@ def _integrate_body(
         jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
         jnp.concatenate([idx, idx]), mode="drop")
 
-    # NOTE: scalar scatter-adds measure faster than a fused 2-wide row
-    # scatter-add on this TPU generation; keep them separate.
+    # Support count + depth sum in ONE i32 add-scatter: the depth rides in
+    # the low 25 bits as fixed point at depth-unit resolution (supporter
+    # depth * depth_scaling <= (1+noise)*65535 < 2^17), the count in bits
+    # 25.. (scatter cost is per index stream; halving the streams halves the
+    # scalar-unit time).  Documented deviation from the reference's separate
+    # f32 sums (kernels.cu:1691-1694): the blending average is quantized to
+    # one depth unit, and >=64 supporters on one pixel would overflow into
+    # the sign bit (the sum field itself is safe: 63 * (2^17-1) < 2^25;
+    # real data has a handful of supporters per pixel).
+    SUM_BITS = 25
     ab_pix = jnp.concatenate([jnp.where(support_a, pix_a, INVALID_INDEX),
                               jnp.where(support_b, pix_b, INVALID_INDEX)])
-    support_counts = jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
-        1, mode="drop")
-    support_depth_sums = jnp.zeros((hw,), jnp.float32).at[ab_pix].add(
-        jnp.concatenate([z, z]), mode="drop")
+    z_units = jnp.clip(jnp.round(z * params.depth_scaling), 0,
+                       (1 << 17) - 1).astype(jnp.int32)
+    packed = jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
+        jnp.concatenate([z_units, z_units]) + (1 << SUM_BITS), mode="drop")
+    support_counts = packed >> SUM_BITS
+    support_depth_sums = (packed & ((1 << SUM_BITS) - 1)).astype(
+        jnp.float32) * inv_scale
     if params.debug_stop_after <= 2:
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, has_conflict)
@@ -478,11 +498,11 @@ def _integrate_body(
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     supported = supporting_surfels[pix_a_c]
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
-    # Narrow row-gather: only pos/normal/radius columns (gather cost scales
-    # with row width).
-    merge_cols = pack[:, PX:NZ + 1]                  # PX..PZ,SX..SZ,NX..NZ
+    # Narrow row-gather: pos/normal/radius columns in ONE gather (gather
+    # cost scales with the index stream, barely with row width).
+    merge_cols = pack[:, PX:RAD + 1]                 # PX..NZ,CONF,RAD
     sup_rows = merge_cols[jnp.clip(supported, 0, n - 1)]
-    other_radius = pack[:, RAD][jnp.clip(supported, 0, n - 1)]
+    other_radius = sup_rows[:, RAD]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)
     m_on = m_on & (radius_ratio <= MERGE_RADIUS_DIFF_THRESHOLD_SQ) & \
@@ -817,19 +837,25 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
     ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
 
-    # Narrow sub-pack for neighbor gathers: pos + normal (6 cols).
-    pn_pack = jnp.concatenate([pack[:, PX:PZ + 1], pack[:, NX:NZ + 1]],
-                              axis=1)
+    # Narrow sub-pack for neighbor gathers: pos + normal + detach (7 cols).
+    # The detach flag rides along so no fresh gather is needed at the end:
+    # the pack is static during this phase, so a slot's detach value is
+    # known from whichever gather fetched it (old slot or candidate).
+    pn_pack = jnp.concatenate([pack[:, PX:PZ + 1], pack[:, NX:NZ + 1],
+                               pack[:, DETACH:DETACH + 1]], axis=1)
 
-    # Existing slots: one narrow row gather for distances.
+    # Existing slots: one narrow row gather for distances (+ detach).
     slot_idx = neighbors                                  # (N, 4)
-    slot_pos = pack[:, PX:PZ + 1][jnp.clip(slot_idx, 0, n - 1)]  # (N, 4, 3)
+    sd_pack = jnp.concatenate([pack[:, PX:PZ + 1],
+                               pack[:, DETACH:DETACH + 1]], axis=1)
+    slot_rows = sd_pack[jnp.clip(slot_idx, 0, n - 1)]     # (N, 4, 4)
     slot_valid = slot_idx != INVALID_INDEX
-    sdx = slot_pos[..., 0] - ox[:, None]
-    sdy = slot_pos[..., 1] - oy[:, None]
-    sdz = slot_pos[..., 2] - oz[:, None]
+    sdx = slot_rows[..., 0] - ox[:, None]
+    sdy = slot_rows[..., 1] - oy[:, None]
+    sdz = slot_rows[..., 2] - oz[:, None]
     slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
                           jnp.inf)
+    slot_det = slot_rows[..., 3]
 
     for direction in range(4):
         cand = _i32(rows_post_a[:, 16 + direction])
@@ -854,11 +880,11 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
         slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
         slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
+        slot_det = jnp.where(onehot, cand_rows[:, 6:7], slot_det)
 
     # Drop neighbors whose surfel has the detach flag set
-    # (kernels.cu:1420-1437); fresh scalar gather since slots changed.
-    final_detach = pack[:, DETACH][jnp.clip(slot_idx, 0, n - 1)]
-    slot_detach = (final_detach > 0) & (slot_idx != INVALID_INDEX)
+    # (kernels.cu:1420-1437).
+    slot_detach = (slot_det > 0) & (slot_idx != INVALID_INDEX)
     return jnp.where(slot_detach, INVALID_INDEX, slot_idx)
 
 
@@ -868,9 +894,14 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
                         frame_index):
     """Append a surfel for every unexplained valid depth pixel
     (kernels.cu:90-271); index compaction via cumsum replaces CUB's
-    DeviceScan::ExclusiveSum (kernels.cc:94-113).  All adjacent-pixel access
-    is regular (+-1, +-W): expressed as shifts, not gathers; the only gathers
-    are the 4 supporting-surfel row fetches for neighbor initialization."""
+    DeviceScan::ExclusiveSum (kernels.cc:94-113).
+
+    Compaction runs FIRST: after the flag/prefix pass over the image, every
+    remaining stream (image-row fetch, adjacent-pixel tests, supporter row
+    gathers for neighbor initialization, row construction) runs over the
+    C = creation-budget domain instead of the HW pixel domain — the CUDA
+    creation kernel's per-new-surfel iteration space (kernels.cc:115-126),
+    reached here without the reference's separate flag image."""
     h, w = depth.shape
     hw = h * w
     n = pack.shape[0]
@@ -891,36 +922,55 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     total = prefix[-1] + flags_flat[-1].astype(jnp.int32)
     fits = flags_flat & (surfel_count + prefix < n) & (prefix < c_budget)
 
-    pgx, pgy, pgz = img_post[:, 1], img_post[:, 2], img_post[:, 3]
+    # Compact the flagged pixels into the creation budget: src_pix[j] is the
+    # pixel of the j-th created surfel.  The compaction scatter is unique by
+    # construction of the prefix sum.
+    src_scatter = jnp.where(fits, prefix, INVALID_INDEX)
+    src_pix = jnp.zeros((c_budget,), jnp.int32).at[src_scatter].set(
+        lin, mode="drop", unique_indices=True)
+
+    # ---- Everything below runs in the C domain. ----
+    rows_img = img_post[src_pix]                            # (C, 20)
+    pgx, pgy, pgz = rows_img[:, 1], rows_img[:, 2], rows_img[:, 3]
+    depth_c = rows_img[:, 0]
+    radius_c = rows_img[:, 12]
+
+    # Adjacent-pixel creation info: flags/prefix/depth at the 4 neighbors of
+    # each source pixel (source pixels are interior, so +-1/+-W stay in
+    # bounds; unused budget slots have src_pix == 0 and are clipped — their
+    # rows are dropped by the INVALID destination below).
+    aux = jnp.stack([depth_m_flat, flags_flat.astype(jnp.float32),
+                     prefix.astype(jnp.float32)], axis=1)    # (HW, 3)
 
     # Initial neighbors from the 4 adjacent pixels (kernels.cu:189-224).
     nbr_slots = []
-    exist_sum = [jnp.zeros((hw,), jnp.float32) for _ in range(3)]
-    exist_cnt = jnp.ones((hw,), jnp.float32)  # count + 1
+    exist_sum = [jnp.zeros((c_budget,), jnp.float32) for _ in range(3)]
+    exist_cnt = jnp.ones((c_budget,), jnp.float32)  # count + 1
     shifts = (-1, +1, -w, +w)
-    flags_f = flags_flat.astype(jnp.float32)
-    prefix_f = prefix.astype(jnp.float32)
     ps_pack = pack[:, PX:SZ + 1]              # pos + smooth (6 cols)
     for k, shift in enumerate(shifts):
-        sup = _i32(img_post[:, 16 + k])       # supporting at that adjacency
+        # Supporting surfel at that adjacency rides in the gathered image
+        # row (img_post cols 16-19 are the shifted supporting maps).
+        sup = _i32(rows_img[:, 16 + k])
         has_sup = sup != INVALID_INDEX
-        sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # one narrow row gather
+        sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # narrow C-row gather
         dx = sup_rows[:, 0] - pgx
         dy = sup_rows[:, 1] - pgy
         dz = sup_rows[:, 2] - pgz
-        in_range = dx * dx + dy * dy + dz * dz <= reg_factor_sq * radius_flat
+        in_range = dx * dx + dy * dy + dz * dz <= reg_factor_sq * radius_c
         use_sup = has_sup & in_range
         exist_sum[0] += jnp.where(use_sup, sup_rows[:, 3], 0.0)
         exist_sum[1] += jnp.where(use_sup, sup_rows[:, 4], 0.0)
         exist_sum[2] += jnp.where(use_sup, sup_rows[:, 5], 0.0)
         exist_cnt += use_sup.astype(jnp.float32)
 
-        adj_new = _shift_flat(flags_f, hw, shift) > 0
-        adj_depth = _shift_flat(depth_m_flat, hw, shift)
-        adj_prefix = _shift_flat(prefix_f, hw, shift).astype(jnp.int32)
-        approx_sq = (depth_m_flat - adj_depth) ** 2
+        adj = aux[jnp.clip(src_pix + shift, 0, hw - 1)]      # (C, 3)
+        adj_new = adj[:, 1] > 0
+        adj_depth = adj[:, 0]
+        adj_prefix = adj[:, 2].astype(jnp.int32)
+        approx_sq = (depth_c - adj_depth) ** 2
         use_new = (~has_sup) & adj_new & \
-            (approx_sq <= reg_factor_sq * radius_flat)
+            (approx_sq <= reg_factor_sq * radius_c)
         adj_dest = surfel_count + adj_prefix
         slot = jnp.where(use_sup, sup,
                          jnp.where(use_new & (adj_dest < n) &
@@ -932,33 +982,23 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     new_sy = (pgy + exist_sum[1]) / exist_cnt
     new_sz = (pgz + exist_sum[2]) / exist_cnt
 
-    ones = jnp.ones((hw,), jnp.float32)
-    frame_f = _f32bits(jnp.broadcast_to(frame_index, (hw,)))
+    ones = jnp.ones((c_budget,), jnp.float32)
+    frame_f = _f32bits(jnp.broadcast_to(frame_index, (c_budget,)))
     new_rows_cols = [None] * PACK_WIDTH
     new_rows_cols[PX], new_rows_cols[PY], new_rows_cols[PZ] = pgx, pgy, pgz
     new_rows_cols[SX], new_rows_cols[SY], new_rows_cols[SZ] = \
         new_sx, new_sy, new_sz
     new_rows_cols[NX], new_rows_cols[NY], new_rows_cols[NZ] = \
-        img_post[:, 4], img_post[:, 5], img_post[:, 6]
+        rows_img[:, 4], rows_img[:, 5], rows_img[:, 6]
     new_rows_cols[CONF] = ones
-    new_rows_cols[RAD] = radius_flat
+    new_rows_cols[RAD] = radius_c
     new_rows_cols[CR], new_rows_cols[CG], new_rows_cols[CB] = \
-        img_post[:, 7], img_post[:, 8], img_post[:, 9]
+        rows_img[:, 7], rows_img[:, 8], rows_img[:, 9]
     new_rows_cols[CREATION] = frame_f
     new_rows_cols[STAMP] = frame_f
-    new_rows_cols[DETACH] = jnp.zeros((hw,), jnp.float32)
-    new_rows = jnp.stack(new_rows_cols, axis=1)             # (HW, PACK)
-    new_nbrs = jnp.stack(nbr_slots, axis=1)                 # (HW, 4)
-
-    # Compact the flagged pixels into the creation budget: src_pix[j] is the
-    # pixel of the j-th created surfel.  The compaction scatter is unique by
-    # construction of the prefix sum; the pack writes are then C-sized
-    # instead of HW-sized.
-    src_scatter = jnp.where(fits, prefix, INVALID_INDEX)
-    src_pix = jnp.zeros((c_budget,), jnp.int32).at[src_scatter].set(
-        lin, mode="drop", unique_indices=True)
-    rows_c = new_rows[src_pix]                              # (C, PACK)
-    nbrs_c = new_nbrs[src_pix]                              # (C, 4)
+    new_rows_cols[DETACH] = jnp.zeros((c_budget,), jnp.float32)
+    rows_c = jnp.stack(new_rows_cols, axis=1)               # (C, PACK)
+    nbrs_c = jnp.stack(nbr_slots, axis=1)                   # (C, 4)
 
     created = jnp.minimum(jnp.minimum(total, c_budget),
                           jnp.maximum(n - surfel_count, 0))

@@ -105,6 +105,13 @@ class SurfelMeshingConfig:
     # tracks the live map size instead of max_surfel_count.  Worth it on
     # locally-attached TPUs; each bucket costs one (cacheable) compile.
     use_shape_buckets: bool = False
+    # Active-set tiling: per-frame fusion gathers a working set of at most
+    # this many surfels (the tiles holding in-view / recently-updated /
+    # frontier surfels) so cost tracks the visible set, not the capacity
+    # (the reference gates on surfel_count grids + the active window,
+    # kernels.cu:77-87).  0 = off.  Rounds max_surfel_count up to a tile
+    # multiple.  TPU-specific flag with no reference equivalent.
+    active_surfel_budget: int = 0
 
     # --- Required input paths (main.cc:595-604) ---
     dataset_folder_path: Optional[str] = None
@@ -117,6 +124,9 @@ class SurfelMeshingConfig:
                 f"(got {self.outlier_filtering_frame_count})")
         if not 0 <= self.depth_erosion_radius <= 3:
             raise ValueError("depth_erosion_radius must be in [0, 3]")
+        if self.active_surfel_budget and self.use_shape_buckets:
+            raise ValueError("active_surfel_budget and use_shape_buckets "
+                             "are mutually exclusive")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -233,6 +243,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize_surfel_normals", action="store_true")
     p.add_argument("--log_timings", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--use_shape_buckets", action="store_true",
+                   help="compile the fusion step per power-of-2 surfel-count "
+                        "bucket (TPU-specific; no reference equivalent)")
+    p.add_argument("--active_surfel_budget", type=int,
+                   default=d.active_surfel_budget,
+                   help="active-set tiling working-set size in surfels; "
+                        "0 = off (TPU-specific; no reference equivalent)")
 
     # Required input paths (sequential parameters in the reference).
     p.add_argument("dataset_folder_path", type=str, nargs="?")
@@ -325,6 +342,8 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         visualize_surfel_normals=args.visualize_surfel_normals,
         log_timings=args.log_timings,
         profile_dir=args.profile_dir,
+        use_shape_buckets=args.use_shape_buckets,
+        active_surfel_budget=args.active_surfel_budget,
         dataset_folder_path=args.dataset_folder_path,
         trajectory_filename=args.trajectory_filename,
     )

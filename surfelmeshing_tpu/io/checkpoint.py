@@ -13,20 +13,14 @@ import numpy as np
 
 from ..ops.fusion import SurfelState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_checkpoint(path: str, state: SurfelState, frame_index: int) -> None:
+    fields = {name: np.asarray(value)
+              for name, value in state._asdict().items()}
     np.savez_compressed(
-        path,
-        version=_FORMAT_VERSION,
-        frame_index=frame_index,
-        pack=np.asarray(state.pack),
-        neighbors=np.asarray(state.neighbors),
-        surfel_count=np.asarray(state.surfel_count),
-        merge_count=np.asarray(state.merge_count),
-        overflow_count=np.asarray(state.overflow_count),
-    )
+        path, version=_FORMAT_VERSION, frame_index=frame_index, **fields)
 
 
 def load_checkpoint(path: str):
@@ -35,12 +29,12 @@ def load_checkpoint(path: str):
 
     data = np.load(path)
     if int(data["version"]) != _FORMAT_VERSION:
+        # v1 used a different pack column order; no migration path.
         raise ValueError(f"unsupported checkpoint version {data['version']}")
-    state = SurfelState(
-        pack=jnp.asarray(data["pack"]),
-        neighbors=jnp.asarray(data["neighbors"]),
-        surfel_count=jnp.asarray(data["surfel_count"]),
-        merge_count=jnp.asarray(data["merge_count"]),
-        overflow_count=jnp.asarray(data["overflow_count"]),
-    )
-    return state, int(data["frame_index"])
+    fields = {}
+    for name in SurfelState._fields:
+        if name in data:
+            fields[name] = jnp.asarray(data[name])
+        else:  # field added after the checkpoint was written
+            fields[name] = jnp.zeros((), jnp.int32)
+    return SurfelState(**fields), int(data["frame_index"])

@@ -86,6 +86,7 @@ class SurfelState(NamedTuple):
     surfel_count: jnp.ndarray   # () i32
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
+    skipped_tile_count: jnp.ndarray  # () i32: tiles past the active budget
 
 
 def create_surfel_state(capacity: int) -> SurfelState:
@@ -97,6 +98,7 @@ def create_surfel_state(capacity: int) -> SurfelState:
         surfel_count=jnp.zeros((), jnp.int32),
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
+        skipped_tile_count=jnp.zeros((), jnp.int32),
     )
 
 
@@ -176,6 +178,21 @@ class FusionParams:
     # over a few frames; a tight budget keeps the creation scatter small and
     # the bucketed-shape bound tight.
     max_creations_per_frame: int = 2**15
+    # Active-set tiling: when > 0, each frame gathers a working set of
+    # `active_surfel_budget` surfels — the tiles (contiguous slot ranges of
+    # `tile_size` rows) containing any live surfel that projects into the
+    # image or was updated within the regularization window, plus the
+    # creation frontier — and runs all per-surfel phases on it.  Per-frame
+    # cost then tracks the visible/recent set instead of the capacity (the
+    # CUDA analog: kernels launch over surfel_count and gate on the active
+    # window, kernels.cu:77-87).  Requires capacity % tile_size == 0.
+    # 0 disables tiling (every slot processed every frame).
+    active_surfel_budget: int = 0
+    tile_size: int = 4096
+    # Measurement blending backend: None = auto (Pallas kernel on TPU, XLA
+    # elsewhere).  Both run the same _blend_core; results agree to within
+    # one depth unit (backends differ in FMA contraction).
+    pallas_blending: bool | None = None
     # Regularization cross-term accumulation:
     #   True  (TPU-native default): gather over each surfel's own neighbor
     #          slots assuming mutual adjacency — no scatter at all.  The
@@ -290,9 +307,134 @@ def integrate_frame(
 ) -> SurfelState:
     """One fusion step == CUDASurfelReconstruction::Integrate
     (cuda_surfel_reconstruction.cc:112-320)."""
+    if 0 < params.active_surfel_budget < state.pack.shape[0]:
+        return _integrate_tiled(state, depth, normals_xy, radius_img, color,
+                                global_T_local, local_T_global, frame_index,
+                                params)
     return _integrate_body(state, depth, normals_xy, radius_img, color,
                            global_T_local, local_T_global, frame_index,
                            params)
+
+
+def _integrate_tiled(
+    state: SurfelState,
+    depth: jnp.ndarray,
+    normals_xy: jnp.ndarray,
+    radius_img: jnp.ndarray,
+    color: jnp.ndarray,
+    global_T_local: jnp.ndarray,
+    local_T_global: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    params: FusionParams,
+) -> SurfelState:
+    """Active-set fusion: gather the tiles holding this frame's relevant
+    surfels (in-image, recently updated, or on the creation frontier), run
+    the full 8-phase update on that working set, scatter the tiles back.
+
+    Replaces the reference's dynamic surfel_count kernel grids + active
+    window gating (kernels.cu:77-87) under XLA's static shapes: per-frame
+    cost tracks the visible/recent set, not the 20M capacity.  Tiles beyond
+    the budget are skipped for the frame (their surfels go stale and their
+    pixels may spawn duplicate surfels, later merged); the count is
+    recorded in skipped_tile_count.  Frontier tiles are compacted first so
+    creations are never dropped by tile overflow.
+    """
+    n = state.pack.shape[0]
+    ts = params.tile_size
+    if n % ts != 0:
+        raise ValueError(
+            f"active_surfel_budget requires capacity ({n}) to be a "
+            f"multiple of tile_size ({ts})")
+    if not params.symmetric_regularization:
+        raise ValueError("active_surfel_budget requires "
+                         "symmetric_regularization (the exact scatter "
+                         "accumulation needs full shapes)")
+    k_cap = max(params.active_surfel_budget // ts, 1)
+    t_n = n // ts
+    # The creation frontier [surfel_count, surfel_count + budget) spans at
+    # most budget//ts + 1 tiles; it must always fit or creations would be
+    # silently lost while surfel_count still grows.
+    c_budget_ = min(params.max_creations_per_frame,
+                    params.height * params.width)
+    if k_cap < c_budget_ // ts + 1:
+        raise ValueError(
+            f"active_surfel_budget ({params.active_surfel_budget}) too "
+            f"small for the creation frontier: needs at least "
+            f"{(c_budget_ // ts + 1) * ts} (max_creations_per_frame + one "
+            f"tile)")
+    frame_index = jnp.asarray(frame_index, jnp.int32)
+    pack, neighbors = state.pack, state.neighbors
+
+    # Tile flag pass: one elementwise sweep over capacity (bandwidth-bound;
+    # no per-row scatters or gathers).
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    live = row_idx < state.surfel_count
+    Tl = local_T_global
+    ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
+    lx = Tl[0, 0] * ox + Tl[0, 1] * oy + Tl[0, 2] * oz + Tl[0, 3]
+    ly = Tl[1, 0] * ox + Tl[1, 1] * oy + Tl[1, 2] * oz + Tl[1, 3]
+    z = Tl[2, 0] * ox + Tl[2, 1] * oy + Tl[2, 2] * oz + Tl[2, 3]
+    _, _, _, _, in_image = _project(params, lx, ly, z)
+    stamps = _i32(pack[:, STAMP])
+    recent = stamps >= frame_index - params.regularization_frame_window_size
+    tflags = jnp.any((live & (in_image | recent)).reshape(t_n, ts), axis=1)
+
+    # Creation frontier tiles: [surfel_count, surfel_count + budget).
+    c_budget = min(params.max_creations_per_frame,
+                   params.height * params.width)
+    tile_start = jax.lax.broadcasted_iota(jnp.int32, (t_n, 1), 0)[:, 0] * ts
+    frontier = (tile_start < state.surfel_count + c_budget) & \
+        (tile_start + ts > state.surfel_count)
+
+    # Prioritized compaction over the (tiny) tile axis: frontier tiles
+    # first — they must never be dropped — then the flagged rest.
+    f = frontier.astype(jnp.int32)
+    o = (tflags & ~frontier).astype(jnp.int32)
+    fpos = jnp.cumsum(f) - f
+    num_f = fpos[-1] + f[-1]
+    opos = jnp.cumsum(o) - o + num_f
+    pos = jnp.where(frontier, fpos,
+                    jnp.where(o > 0, opos, INVALID_INDEX))
+    pos = jnp.where(pos < k_cap, pos, INVALID_INDEX)      # (t_n,) tile_pos
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (t_n, 1), 0)[:, 0]
+    tile_ids = jnp.full((k_cap,), INVALID_INDEX, jnp.int32).at[pos].set(
+        tile_iota, mode="drop", unique_indices=True)
+    total_tiles = opos[-1] + o[-1]          # frontier + flagged rest
+    skipped = jnp.maximum(total_tiles - k_cap, 0)
+
+    # Gather the working set (whole-tile block gathers: bandwidth-bound).
+    ids_c = jnp.clip(tile_ids, 0, t_n - 1)
+    pack_w = pack.reshape(t_n, ts, PACK_WIDTH)[ids_c].reshape(
+        k_cap * ts, PACK_WIDTH)
+    nbr_w = neighbors.reshape(t_n, ts, 4)[ids_c].reshape(k_cap * ts, 4)
+    slot_live = tile_ids != INVALID_INDEX
+    gidx = jnp.where(
+        slot_live[:, None],
+        ids_c[:, None] * ts +
+        jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1),
+        INVALID_INDEX).reshape(-1)
+
+    tiling = _Tiling(tile_ids=tile_ids, tile_pos=pos, gidx=gidx,
+                     full_pack=pack, full_neighbors=neighbors)
+    wstate = SurfelState(
+        pack=pack_w, neighbors=nbr_w, surfel_count=state.surfel_count,
+        merge_count=state.merge_count, overflow_count=state.overflow_count,
+        skipped_tile_count=state.skipped_tile_count + skipped)
+    out = _integrate_body(wstate, depth, normals_xy, radius_img, color,
+                          global_T_local, local_T_global, frame_index,
+                          params, tiling)
+
+    # Final writeback of the working tiles.
+    full_pack = pack.reshape(t_n, ts, PACK_WIDTH).at[tile_ids].set(
+        out.pack.reshape(k_cap, ts, PACK_WIDTH), mode="drop",
+        unique_indices=True).reshape(n, PACK_WIDTH)
+    full_nbr = neighbors.reshape(t_n, ts, 4).at[tile_ids].set(
+        out.neighbors.reshape(k_cap, ts, 4), mode="drop",
+        unique_indices=True).reshape(n, 4)
+    return SurfelState(
+        pack=full_pack, neighbors=full_nbr, surfel_count=out.surfel_count,
+        merge_count=out.merge_count, overflow_count=out.overflow_count,
+        skipped_tile_count=out.skipped_tile_count)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_eff"),
@@ -321,12 +463,8 @@ def integrate_frame_bucketed(
         return _integrate_body(state, depth, normals_xy, radius_img, color,
                                global_T_local, local_T_global, frame_index,
                                params)
-    sub = SurfelState(
-        pack=state.pack[:n_eff],
-        neighbors=state.neighbors[:n_eff],
-        surfel_count=state.surfel_count,
-        merge_count=state.merge_count,
-        overflow_count=state.overflow_count)
+    sub = state._replace(pack=state.pack[:n_eff],
+                         neighbors=state.neighbors[:n_eff])
     sub = _integrate_body(sub, depth, normals_xy, radius_img, color,
                           global_T_local, local_T_global, frame_index,
                           params)
@@ -339,6 +477,23 @@ def integrate_frame_bucketed(
         overflow_count=sub.overflow_count)
 
 
+class _Tiling(NamedTuple):
+    """Working-set context for the tiled (active-set) fusion path.
+
+    tile_ids[k] is the global tile index held by working-tile slot k
+    (INVALID_INDEX for unused slots); tile_pos[t] is the inverse map; gidx
+    is the per-working-row global surfel index (INVALID_INDEX on unused
+    slots).  full_pack/full_neighbors are the capacity-sized arrays; the
+    body scatters the working tiles back into them before every
+    gather-by-global-index ("sync") and at the end.
+    """
+    tile_ids: jnp.ndarray       # (K,) i32
+    tile_pos: jnp.ndarray       # (T,) i32 working slot per tile or INVALID
+    gidx: jnp.ndarray           # (K*tile_size,) i32
+    full_pack: jnp.ndarray      # (N, PACK_WIDTH)
+    full_neighbors: jnp.ndarray  # (N, 4)
+
+
 def _integrate_body(
     state: SurfelState,
     depth: jnp.ndarray,
@@ -349,6 +504,7 @@ def _integrate_body(
     local_T_global: jnp.ndarray,
     frame_index: jnp.ndarray,
     params: FusionParams,
+    tiling: _Tiling | None = None,
 ) -> SurfelState:
     n = state.pack.shape[0]
     h, w = params.height, params.width
@@ -360,8 +516,39 @@ def _integrate_body(
     frame_index = jnp.asarray(frame_index, jnp.int32)
     pack = state.pack
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    in_count = idx < state.surfel_count
+    if tiling is None:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+        def sync(pack_w):
+            """Full-shape mode: the working pack IS the full pack."""
+            return pack_w
+
+        def dest_translate(dest):
+            return dest
+    else:
+        ts = params.tile_size
+        idx = tiling.gidx
+        n_full = tiling.full_pack.shape[0]
+
+        def sync(pack_w):
+            """Scatter the working tiles back into the full pack so
+            gathers by global surfel index see this frame's updates."""
+            k_cap = tiling.tile_ids.shape[0]
+            return tiling.full_pack.reshape(-1, ts, PACK_WIDTH).at[
+                tiling.tile_ids].set(
+                pack_w.reshape(k_cap, ts, PACK_WIDTH), mode="drop",
+                unique_indices=True).reshape(n_full, PACK_WIDTH)
+
+        def dest_translate(dest):
+            """Global row index -> working-copy row index (creations land
+            in frontier tiles, which are always resident)."""
+            wt = tiling.tile_pos[jnp.clip(dest // ts, 0,
+                                          tiling.tile_pos.shape[0] - 1)]
+            return jnp.where((wt == INVALID_INDEX) | (dest == INVALID_INDEX),
+                             INVALID_INDEX,
+                             jnp.minimum(wt, n // ts) * ts + dest % ts)
+
+    in_count = (idx != INVALID_INDEX) & (idx < state.surfel_count)
     stamps = _i32(pack[:, STAMP])
     active = in_count & (stamps > frame_index - params.active_window)
 
@@ -499,9 +686,12 @@ def _integrate_body(
     supported = supporting_surfels[pix_a_c]
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
     # Narrow row-gather: pos/normal/radius columns in ONE gather (gather
-    # cost scales with the index stream, barely with row width).
-    merge_cols = pack[:, PX:RAD + 1]                 # PX..NZ,CONF,RAD
-    sup_rows = merge_cols[jnp.clip(supported, 0, n - 1)]
+    # cost scales with the index stream, barely with row width).  Gathers
+    # by global surfel index read the full pack (still pristine here — the
+    # merge tombstone below is the frame's first pack mutation).
+    pack0_src = pack if tiling is None else tiling.full_pack
+    merge_cols = pack0_src[:, PX:RAD + 1]            # PX..NZ,CONF,RAD
+    sup_rows = merge_cols[jnp.clip(supported, 0, pack0_src.shape[0] - 1)]
     other_radius = sup_rows[:, RAD]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)
@@ -675,9 +865,10 @@ def _integrate_body(
         return _dbg_return(pack, neighbors)
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
+    gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
     neighbors = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors,
-        rows_post_a, Tl)
+        rows_post_a, Tl, gpack)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)
 
@@ -689,7 +880,8 @@ def _integrate_body(
     (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
         params, depth, radius_flat, supporting_surfels, conflict_free,
         img_post, depth_m_flat, pack, neighbors,
-        state.surfel_count, state.overflow_count, frame_index)
+        state.surfel_count, state.overflow_count, frame_index,
+        gpack, dest_translate)
     if params.debug_stop_after <= 7:
         return _dbg_return(pack, neighbors, surfel_count[None],
                            overflow_count[None])
@@ -704,113 +896,169 @@ def _integrate_body(
     else:
         for _ in range(params.regularization_iterations):
             pack, neighbors = _regularize(params, pack, neighbors,
-                                          frame_index)
+                                          frame_index, sync)
 
     return SurfelState(
         pack=pack, neighbors=neighbors, surfel_count=surfel_count,
-        merge_count=merge_count, overflow_count=overflow_count)
+        merge_count=merge_count, overflow_count=overflow_count,
+        skipped_tile_count=state.skipped_tile_count)
 
 
 # ---------------------------------------------------------------------------
 # Phase implementations.
 # ---------------------------------------------------------------------------
 
-def _blend_measurements(params, depth, supporting_surfels, counts, sums):
-    """Observation-boundary blending (kernels.cu:563-738, kernels.cc:148-205).
+def _blend_core(depth_f, supported, valid, avg, radius, scale):
+    """Observation-boundary blending core over f32 maps — shared verbatim by
+    the XLA path and the Pallas kernel (so the two are bit-exact).
 
-    BFS feathering from measurement/surfel boundaries: raw depth is pulled
-    toward the average supporting-surfel depth with a weight decaying over
-    `measurement_blending_radius` rings.  The reference's in-place races are
-    resolved by Jacobi iterations over a previous-ring snapshot.
+    BFS feathering from measurement/surfel boundaries
+    (kernels.cu:563-738, kernels.cc:148-205): raw depth is pulled toward the
+    average supporting-surfel depth with a weight decaying over
+    `radius` rings.  The reference's in-place races are resolved by Jacobi
+    iterations over a previous-ring snapshot.  All maps f32; `supported` /
+    `valid` are 0/1 masks; iteration count is static.
     """
-    h, w = depth.shape
-    radius = params.measurement_blending_radius
-    scale = jnp.float32(params.depth_scaling)
+    h, w = depth_f.shape
+    scale = jnp.float32(scale)
 
-    def shifted(img, dy, dx, fill=0):
-        p = jnp.pad(img, 1, constant_values=fill)
-        return p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    def shifted(img, dy, dx):
+        """img[y+dy, x+dx] with zero fill, as lane/sublane slices."""
+        if dy > 0:
+            img = jnp.concatenate(
+                [img[dy:], jnp.zeros((dy, w), img.dtype)], axis=0)
+        elif dy < 0:
+            img = jnp.concatenate(
+                [jnp.zeros((-dy, w), img.dtype), img[:dy]], axis=0)
+        if dx > 0:
+            img = jnp.concatenate(
+                [img[:, dx:], jnp.zeros((h, dx), img.dtype)], axis=1)
+        elif dx < 0:
+            img = jnp.concatenate(
+                [jnp.zeros((h, -dx), img.dtype), img[:, :dx]], axis=1)
+        return img
 
-    supported = supporting_surfels != INVALID_INDEX
-    valid = depth != 0
+    supported_b = supported > 0.5
+    valid_b = valid > 0.5
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     interior = (xs >= 1) & (ys >= 1) & (xs < w - 1) & (ys < h - 1)
-    eligible = interior & valid & supported
+    eligible = interior & valid_b & supported_b
 
     meas_border = jnp.zeros((h, w), bool)
     surf_border = jnp.zeros((h, w), bool)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            nb_valid = shifted(valid, dy, dx, fill=False)
-            nb_supported = shifted(supported, dy, dx, fill=False)
+            nb_valid = shifted(valid, dy, dx) > 0.5
+            nb_supported = shifted(supported, dy, dx) > 0.5
             meas_border |= ~nb_valid
             surf_border |= nb_valid & ~nb_supported
     meas_border &= eligible
     surf_border &= eligible
 
-    avg = sums / jnp.maximum(counts, 1).astype(jnp.float32)
-    delta0 = avg - depth.astype(jnp.float32) / scale
+    delta0 = avg - depth_f / scale
 
     # distance rings: 0 = untouched, 1..radius-1 = ring, 255 = unknown.
-    dist_map = jnp.where(meas_border, 1,
-                         jnp.where(eligible, 255, 0)).astype(jnp.int32)
+    dist_map = jnp.where(meas_border, 1.0, jnp.where(eligible, 255.0, 0.0))
     deltas = jnp.where(meas_border, delta0, 0.0)
-    new_dist = jnp.where(surf_border, 1, 0).astype(jnp.int32)
+    new_dist = jnp.where(surf_border, 1.0, 0.0)
     new_deltas = jnp.where(surf_border, delta0, 0.0)
 
-    depth_f = depth.astype(jnp.float32)
-    depth_f = jnp.where(meas_border,
-                        jnp.floor(scale * avg + 0.5), depth_f)
+    depth_f = jnp.where(meas_border, jnp.floor(scale * avg + 0.5), depth_f)
 
-    unsupported_target = interior & valid & ~supported
+    unsupported_target = interior & valid_b & ~supported_b
 
-    def ring(carry, it):
-        depth_f, dist_map, deltas, new_dist, new_deltas = carry
-        interp = (it.astype(jnp.float32) - 1.0) / (radius - 1.0)
-        blend_w = scale * (1.0 - interp)
+    for it in range(2, radius):
+        interp = (it - 1.0) / (radius - 1.0)
+        blend_w = scale * jnp.float32(1.0 - interp)
 
-        def ring_avg(dmap, dvals):
+        def ring_avg(dmap, dvals, it=it):
             ssum = jnp.zeros((h, w), jnp.float32)
-            cnt = jnp.zeros((h, w), jnp.int32)
+            cnt = jnp.zeros((h, w), jnp.float32)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     at_ring = shifted(dmap, dy, dx) == it - 1
                     ssum += jnp.where(at_ring, shifted(dvals, dy, dx), 0.0)
-                    cnt += at_ring.astype(jnp.int32)
+                    cnt += at_ring.astype(jnp.float32)
             return ssum, cnt
 
         ssum, cnt = ring_avg(dist_map, deltas)
-        grow = (dist_map == 255) & (cnt > 0)
-        avg_d = ssum / jnp.maximum(cnt, 1).astype(jnp.float32)
-        dist_map = jnp.where(grow, it, dist_map)
+        grow = (dist_map == 255.0) & (cnt > 0)
+        avg_d = ssum / jnp.maximum(cnt, 1.0)
+        dist_map = jnp.where(grow, jnp.float32(it), dist_map)
         deltas = jnp.where(grow, avg_d, deltas)
         depth_f = jnp.where(grow, depth_f + blend_w * avg_d + 0.5, depth_f)
 
         nsum, ncnt = ring_avg(new_dist, new_deltas)
-        ngrow = unsupported_target & (new_dist == 0) & (ncnt > 0)
-        navg = nsum / jnp.maximum(ncnt, 1).astype(jnp.float32)
-        new_dist = jnp.where(ngrow, it, new_dist)
+        ngrow = unsupported_target & (new_dist == 0.0) & (ncnt > 0)
+        navg = nsum / jnp.maximum(ncnt, 1.0)
+        new_dist = jnp.where(ngrow, jnp.float32(it), new_dist)
         new_deltas = jnp.where(ngrow, navg, new_deltas)
         depth_f = jnp.where(ngrow, depth_f + blend_w * navg + 0.5, depth_f)
-        return (depth_f, dist_map, deltas, new_dist, new_deltas), None
 
+    return depth_f
+
+
+def _blend_pallas(depth_f, supported, valid, avg, radius, scale, interpret):
+    """Single-program Pallas kernel: the whole blending pyramid runs with
+    every ring map resident in VMEM (6 maps x 1.2 MB at 640x480 ~ 7 MB),
+    instead of XLA round-tripping each Jacobi iteration through HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(depth_ref, sup_ref, valid_ref, avg_ref, out_ref):
+        out_ref[:] = _blend_core(depth_ref[:], sup_ref[:], valid_ref[:],
+                                 avg_ref[:], radius, scale)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(depth_f.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM),
+        interpret=interpret,
+    )(depth_f, supported, valid, avg)
+
+
+def _blend_measurements(params, depth, supporting_surfels, counts, sums):
+    """Measurement blending dispatch: Pallas kernel on TPU backends, plain
+    XLA elsewhere (bit-identical: both run _blend_core)."""
+    radius = params.measurement_blending_radius
+    supported = (supporting_surfels != INVALID_INDEX).astype(jnp.float32)
+    valid = (depth != 0).astype(jnp.float32)
+    avg = sums / jnp.maximum(counts, 1).astype(jnp.float32)
+    depth_f = depth.astype(jnp.float32)
     if radius >= 2:
-        (depth_f, *_), _ = jax.lax.scan(
-            ring, (depth_f, dist_map, deltas, new_dist, new_deltas),
-            jnp.arange(2, radius, dtype=jnp.int32))
+        use_pallas = params.pallas_blending
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        if use_pallas:
+            depth_f = _blend_pallas(
+                depth_f, supported, valid, avg, radius,
+                params.depth_scaling,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+        else:
+            depth_f = _blend_core(depth_f, supported, valid, avg, radius,
+                                  params.depth_scaling)
+    else:
+        # radius < 2 still applies the border snap (the it-loop is empty).
+        depth_f = _blend_core(depth_f, supported, valid, avg, max(radius, 1),
+                              params.depth_scaling)
     return jnp.clip(jnp.floor(depth_f), 0, 65535).astype(jnp.uint16)
 
 
 def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
-                      neighbors, rows_post_a, Tl):
+                      neighbors, rows_post_a, Tl, gpack):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
     of the 4 adjacent pixels (kernels.cu:1197-1455).
 
     The adjacent supporting-surfel indices ride in the phase-5 image rows
-    (cols 16-19), so this phase needs only the candidate/slot row gathers.
+    (cols 16-19), so this phase needs only the candidate/slot row gathers —
+    both from `gpack`, the full pack synced after phase 5 (== `pack` in
+    full-shape mode).
     """
-    n = pack.shape[0]
+    n = gpack.shape[0]
     h, w = params.height, params.width
     noise = params.sensor_noise_factor
     reg_factor_sq = jnp.float32(
@@ -837,37 +1085,36 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
     ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
 
-    # Narrow sub-pack for neighbor gathers: pos + normal + detach (7 cols).
-    # The detach flag rides along so no fresh gather is needed at the end:
-    # the pack is static during this phase, so a slot's detach value is
-    # known from whichever gather fetched it (old slot or candidate).
-    pn_pack = jnp.concatenate([pack[:, PX:PZ + 1], pack[:, NX:NZ + 1],
-                               pack[:, DETACH:DETACH + 1]], axis=1)
+    # One contiguous column slice serves both the slot and candidate
+    # gathers: PX..DETACH covers raw position, normal, and the detach flag
+    # (column order is arranged for this; no concat materialization).  The
+    # detach flag rides along so no fresh gather is needed at the end: the
+    # pack is static during this phase, so a slot's detach value is known
+    # from whichever gather fetched it (old slot or candidate).
+    pn_pack = gpack[:, PX:DETACH + 1]
 
     # Existing slots: one narrow row gather for distances (+ detach).
     slot_idx = neighbors                                  # (N, 4)
-    sd_pack = jnp.concatenate([pack[:, PX:PZ + 1],
-                               pack[:, DETACH:DETACH + 1]], axis=1)
-    slot_rows = sd_pack[jnp.clip(slot_idx, 0, n - 1)]     # (N, 4, 4)
+    slot_rows = pn_pack[jnp.clip(slot_idx, 0, n - 1)]     # (N, 4, 12)
     slot_valid = slot_idx != INVALID_INDEX
-    sdx = slot_rows[..., 0] - ox[:, None]
-    sdy = slot_rows[..., 1] - oy[:, None]
-    sdz = slot_rows[..., 2] - oz[:, None]
+    sdx = slot_rows[..., PX] - ox[:, None]
+    sdy = slot_rows[..., PY] - oy[:, None]
+    sdz = slot_rows[..., PZ] - oz[:, None]
     slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
                           jnp.inf)
-    slot_det = slot_rows[..., 3]
+    slot_det = slot_rows[..., DETACH]
 
     for direction in range(4):
         cand = _i32(rows_post_a[:, 16 + direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
         cand_rows = pn_pack[jnp.clip(cand, 0, n - 1)]     # one narrow gather
-        cdx = cand_rows[:, 0] - ox
-        cdy = cand_rows[:, 1] - oy
-        cdz = cand_rows[:, 2] - oz
+        cdx = cand_rows[:, PX] - ox
+        cdy = cand_rows[:, PY] - oy
+        cdz = cand_rows[:, PZ] - oz
         c_dist = cdx * cdx + cdy * cdy + cdz * cdz
         c_ok = c_ok & (c_dist <= reg_factor_sq * radius_col)
-        c_ok = c_ok & (nx_ * cand_rows[:, 3] + ny_ * cand_rows[:, 4] +
-                       nz_ * cand_rows[:, 5] > 0)
+        c_ok = c_ok & (nx_ * cand_rows[:, NX] + ny_ * cand_rows[:, NY] +
+                       nz_ * cand_rows[:, NZ] > 0)
 
         already = jnp.any(slot_idx == cand[:, None], axis=-1)
         c_ok = c_ok & ~already
@@ -880,7 +1127,8 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
         slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
         slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
-        slot_det = jnp.where(onehot, cand_rows[:, 6:7], slot_det)
+        slot_det = jnp.where(onehot, cand_rows[:, DETACH:DETACH + 1],
+                             slot_det)
 
     # Drop neighbors whose surfel has the detach flag set
     # (kernels.cu:1420-1437).
@@ -891,7 +1139,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
                         conflict_free, img_post, depth_m_flat,
                         pack, neighbors, surfel_count, overflow_count,
-                        frame_index):
+                        frame_index, gpack, dest_translate):
     """Append a surfel for every unexplained valid depth pixel
     (kernels.cu:90-271); index compaction via cumsum replaces CUB's
     DeviceScan::ExclusiveSum (kernels.cc:94-113).
@@ -904,7 +1152,7 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     reached here without the reference's separate flag image."""
     h, w = depth.shape
     hw = h * w
-    n = pack.shape[0]
+    n = gpack.shape[0]        # full capacity (pack may be a working set)
     reg_factor_sq = jnp.float32(
         params.radius_factor_for_regularization_neighbors ** 2)
 
@@ -947,7 +1195,7 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     exist_sum = [jnp.zeros((c_budget,), jnp.float32) for _ in range(3)]
     exist_cnt = jnp.ones((c_budget,), jnp.float32)  # count + 1
     shifts = (-1, +1, -w, +w)
-    ps_pack = pack[:, PX:SZ + 1]              # pos + smooth (6 cols)
+    ps_pack = gpack[:, PX:SZ + 1]             # pos + smooth (6 cols)
     for k, shift in enumerate(shifts):
         # Supporting surfel at that adjacency rides in the gathered image
         # row (img_post cols 16-19 are the shifted supporting maps).
@@ -996,6 +1244,7 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
         rows_img[:, 7], rows_img[:, 8], rows_img[:, 9]
     new_rows_cols[CREATION] = frame_f
     new_rows_cols[STAMP] = frame_f
+    new_rows_cols[RCNT] = jnp.zeros((c_budget,), jnp.float32)
     new_rows_cols[DETACH] = jnp.zeros((c_budget,), jnp.float32)
     rows_c = jnp.stack(new_rows_cols, axis=1)               # (C, PACK)
     nbrs_c = jnp.stack(nbr_slots, axis=1)                   # (C, 4)
@@ -1005,8 +1254,9 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (c_budget, 1), 0)[:, 0]
     dest_c = jnp.where(slot_iota < created, surfel_count + slot_iota,
                        INVALID_INDEX)
-    pack = pack.at[dest_c].set(rows_c, mode="drop", unique_indices=True)
-    neighbors = neighbors.at[dest_c].set(nbrs_c, mode="drop",
+    dest_w = dest_translate(dest_c)     # frontier tiles are always resident
+    pack = pack.at[dest_w].set(rows_c, mode="drop", unique_indices=True)
+    neighbors = neighbors.at[dest_w].set(nbrs_c, mode="drop",
                                          unique_indices=True)
 
     # Overflow counts only capacity-dropped creations; budget-deferred ones
@@ -1018,15 +1268,22 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     return pack, neighbors, surfel_count, overflow_count
 
 
-def _regularize(params, pack, neighbors, frame_index):
+def _regularize(params, pack, neighbors, frame_index, sync_fn):
     """One gradient-descent denoising iteration (kernels.cu:2099-2308).
 
     Each surfel contributes plane-distance gradient terms to its recent
     neighbors (atomicAdd in CUDA -> segment scatter-add here), then every
     recent surfel takes a step on its smoothed position with a data term
     toward the raw position, step length clamped to the surfel radius.
+
+    Neighbor data is fetched by global surfel index from `sync_fn(pack)`
+    (the full pack; identity in full-shape mode).  In the symmetric mode
+    the per-neighbor recent-count needed for the cross-term weight is read
+    from the RCNT pack column, refreshed for every processed surfel this
+    iteration — under active-set tiling an out-of-working-set neighbor
+    contributes its last-computed count (stale by at most the time since
+    it left the working set).
     """
-    n = pack.shape[0]
     w_reg = jnp.float32(params.regularizer_weight)
     window = params.regularization_frame_window_size
     reg_factor_sq = jnp.float32(
@@ -1036,11 +1293,12 @@ def _regularize(params, pack, neighbors, frame_index):
     nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
     stamps = _i32(pack[:, STAMP])
 
-    # Narrow sub-pack: smooth position + stamp (4 cols).
-    reg_pack = jnp.concatenate([pack[:, SX:SZ + 1], pack[:, STAMP:STAMP + 1]],
-                               axis=1)
+    gsrc = sync_fn(pack)
+    n = gsrc.shape[0]
+    nbr_clip = jnp.clip(neighbors, 0, n - 1)
+    # Contiguous column slice: smooth position + stamp (SX..STAMP).
+    slot_rows = gsrc[:, SX:STAMP + 1][nbr_clip]              # (N, 4, 4)
     slot_valid = neighbors != INVALID_INDEX                  # (N, 4)
-    slot_rows = reg_pack[jnp.clip(neighbors, 0, n - 1)]      # (N, 4, 4)
     slot_recent = _i32(slot_rows[..., 3]) >= frame_index - window
     use = slot_valid & slot_recent
     cnt = jnp.sum(use.astype(jnp.float32), axis=-1)
@@ -1056,24 +1314,28 @@ def _regularize(params, pack, neighbors, frame_index):
         # Gather the in-edge cross terms from each surfel's own slots,
         # assuming mutual adjacency (see FusionParams docstring).  The term
         # i contributes to j is factor_i * (n_i . (p_j - p_i)) * n_i; here j
-        # gathers (n_i, factor_i, w/cnt_i) from its slots and evaluates it
-        # with its own recency gating the edge (matching the direction the
-        # reference gates on, kernels.cu:2154-2161).
+        # gathers (n_i, cnt_i) from its slots — one contiguous NX..RCNT
+        # slice, RCNT freshly stored above — and evaluates it with its own
+        # recency gating the edge (matching the direction the reference
+        # gates on, kernels.cu:2154-2161).
         recent_self = stamps >= frame_index - window
-        wcnt = jnp.where(cnt > 0, w_reg / jnp.maximum(cnt, 1.0), 0.0)
-        factor_eff = jnp.where(cnt > 0, factor, 0.0)
-        nbr_side = jnp.stack([nx_, ny_, nz_, factor_eff, wcnt], axis=1)
-        side_rows = nbr_side[jnp.clip(neighbors, 0, n - 1)]   # (N, 4, 5)
+        pack = pack.at[:, RCNT].set(cnt)
+        gsrc = sync_fn(pack)
+        side_rows = gsrc[:, NX:RCNT + 1][nbr_clip]            # (N, 4, 4)
+        cnt_i = side_rows[..., 3]
+        factor_i = jnp.where(cnt_i > 0,
+                             2.0 * w_reg / jnp.maximum(cnt_i, 1.0), 0.0)
+        wcnt_i = jnp.where(cnt_i > 0, w_reg / jnp.maximum(cnt_i, 1.0), 0.0)
         edge_on = slot_valid & recent_self[:, None]
         # p_j - p_i as seen from j = -(to_nbr computed from j) with i's data:
         # to_nbr (above) is p_i - p_j, so negate.
         in_dot = -(side_rows[..., 0] * dx + side_rows[..., 1] * dy +
                    side_rows[..., 2] * dz)                    # n_i.(p_j-p_i)
-        contrib = jnp.where(edge_on, side_rows[..., 3] * in_dot, 0.0)
+        contrib = jnp.where(edge_on, factor_i * in_dot, 0.0)
         grad_x = jnp.sum(contrib * side_rows[..., 0], axis=-1)
         grad_y = jnp.sum(contrib * side_rows[..., 1], axis=-1)
         grad_z = jnp.sum(contrib * side_rows[..., 2], axis=-1)
-        gcount = jnp.sum(jnp.where(edge_on, side_rows[..., 4], 0.0), axis=-1)
+        gcount = jnp.sum(jnp.where(edge_on, wcnt_i, 0.0), axis=-1)
     else:
         scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
         term = factor[:, None] * ndot                        # (N, 4)
@@ -1128,7 +1390,8 @@ def regularize_only(state: SurfelState, frame_index: jnp.ndarray,
     Regularize, cuda_surfel_reconstruction.cc:322-337; driven by the 'd'
     terminal key, main.cc:1573-1580)."""
     pack, neighbors = _regularize(params, state.pack, state.neighbors,
-                                  jnp.asarray(frame_index, jnp.int32))
+                                  jnp.asarray(frame_index, jnp.int32),
+                                  lambda p: p)
     return state._replace(pack=pack, neighbors=neighbors)
 
 

@@ -69,9 +69,15 @@ class ReconstructionPipeline:
                 config.radius_factor_for_regularization_neighbors),
             surfel_integration_active_window_size=(
                 config.surfel_integration_active_window_size),
+            active_surfel_budget=config.active_surfel_budget,
         )
+        capacity = config.max_surfel_count
+        if config.active_surfel_budget:
+            # Tiling needs a tile-aligned capacity; round up.
+            ts = self.fusion_params.tile_size
+            capacity = (capacity + ts - 1) // ts * ts
         self.state: SurfelState = jax.device_put(
-            create_surfel_state(config.max_surfel_count), self.device)
+            create_surfel_state(capacity), self.device)
         self._log_device_memory()
 
         # Resident depth-frame window (ring buffer keyed by frame index),

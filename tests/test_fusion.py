@@ -1,6 +1,8 @@
 """Tests for the surfel fusion engine (ops/fusion.py) against the behavioral
 contract of CUDASurfelReconstruction::Integrate."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -250,6 +252,98 @@ class TestEndToEndFusion:
         assert dist.mean() < 0.005
 
 
+class TestActiveSetTiling:
+    def _run_sequence(self, params, capacity, frames=6):
+        seq = SyntheticRGBDSequence(num_frames=frames + 2, width=W, height=H)
+        cam = seq.camera
+        params = dataclasses.replace(
+            params, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        state = create_surfel_state(capacity)
+        for i in range(1, frames + 1):
+            depth, color = seq.depth_and_color(i)
+            others = np.stack([seq.depth_and_color(i - 1)[0],
+                               seq.depth_and_color(i + 1)[0]])
+            ref = seq.poses[i].scaled_translation(SCALE)
+            T = np.stack([
+                ((ref.inverse() *
+                  seq.poses[j].scaled_translation(SCALE)).inverse()
+                 .matrix3x4())
+                for j in (i - 1, i + 1)]).astype(np.float32)
+            d, normals, radius = pp.preprocess_frame(
+                depth, others, T,
+                sigma_xy=3.0, sigma_value_factor=0.05, radius_factor=2.0,
+                max_depth_u16=int(SCALE * 3.0),
+                depth_valid_region_radius=1000.0,
+                tolerance=0.02, required_inliers=None, erosion_radius=1,
+                observation_angle_threshold_deg=85.0, depth_scaling=SCALE,
+                point_radius_extension_factor=1.5,
+                point_radius_clamp_factor=np.inf,
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+            T_gl = seq.poses[i].matrix3x4().astype(np.float32)
+            T_lg = seq.poses[i].inverse().matrix3x4().astype(np.float32)
+            color_pm = np.ascontiguousarray(color.transpose(2, 0, 1))
+            state = integrate_frame(
+                state, d, normals, radius, jnp.asarray(color_pm),
+                jnp.asarray(T_gl), jnp.asarray(T_lg), jnp.int32(i), params)
+        return state
+
+    def test_tiled_matches_full_bitexact(self):
+        """With every live tile resident, the tiled path must reproduce the
+        full-shape path bit-exactly (all scatters are order-independent:
+        f32/i32 min and i32 add)."""
+        base = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1)
+        full = self._run_sequence(base, capacity=8192)
+        tiled = self._run_sequence(
+            dataclasses.replace(base, active_surfel_budget=4096,
+                                tile_size=256),
+            capacity=8192)
+        assert int(tiled.skipped_tile_count) == 0
+        assert int(tiled.surfel_count) == int(full.surfel_count)
+        np.testing.assert_array_equal(np.asarray(tiled.pack),
+                                      np.asarray(full.pack))
+        np.testing.assert_array_equal(np.asarray(tiled.neighbors),
+                                      np.asarray(full.neighbors))
+        assert int(tiled.merge_count) == int(full.merge_count)
+
+    def test_tile_budget_overflow_recorded(self):
+        """A budget smaller than the recent/visible set skips tiles
+        (recorded), keeps creations alive via the frontier, and stays
+        structurally sane."""
+        params = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1,
+            active_surfel_budget=1024, tile_size=128,
+            max_creations_per_frame=256)
+        state = create_surfel_state(8192)
+        # Mark scattered rows across many tiles as recently updated so the
+        # flagged set far exceeds the 8-tile budget.
+        pack = np.array(state.pack)
+        pack[::64, F.STAMP] = np.int32(1).view(np.float32)
+        state = state._replace(pack=jnp.asarray(pack),
+                               surfel_count=jnp.int32(8000))
+        depth, normals, radius, color = flat_wall_inputs()
+        state = run_frame(state, depth, normals, radius, color, 2,
+                          params=params)
+        assert int(state.skipped_tile_count) > 0
+        count = int(state.surfel_count)
+        assert 0 < count <= 8192
+
+    def test_budget_below_frontier_rejected(self):
+        params = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, active_surfel_budget=128, tile_size=128,
+            max_creations_per_frame=256)
+        state = create_surfel_state(8192)
+        depth, normals, radius, color = flat_wall_inputs()
+        with pytest.raises(ValueError, match="creation frontier"):
+            run_frame(state, depth, normals, radius, color, 0,
+                      params=params)
+
+
 class TestBlending:
     def _blend(self, depth, supporting, counts, sums, radius=6):
         import jax.numpy as jnp
@@ -262,6 +356,28 @@ class TestBlending:
         return np.asarray(_blend_measurements(
             params, jnp.asarray(depth), jnp.asarray(supporting),
             jnp.asarray(counts), jnp.asarray(sums)))
+
+    def test_pallas_kernel_matches_core(self):
+        """The Pallas blending kernel must agree with the XLA path to within
+        one depth unit after rounding (same _blend_core; backends may differ
+        in FMA contraction at ~1e-3 depth units)."""
+        from surfelmeshing_tpu.ops.fusion import _blend_core, _blend_pallas
+
+        rng = np.random.default_rng(3)
+        h, w = 24, 32
+        depth_f = (rng.integers(0, 3, (h, w)) * 5000 +
+                   rng.integers(0, 200, (h, w))).astype(np.float32)
+        supported = (rng.random((h, w)) < 0.7).astype(np.float32)
+        valid = (depth_f > 0).astype(np.float32)
+        avg = (depth_f / SCALE +
+               0.01 * rng.standard_normal((h, w))).astype(np.float32)
+        args = (jnp.asarray(depth_f), jnp.asarray(supported),
+                jnp.asarray(valid), jnp.asarray(avg))
+        core = np.floor(np.asarray(
+            _blend_core(*args, radius=6, scale=SCALE)))
+        pallas = np.floor(np.asarray(
+            _blend_pallas(*args, radius=6, scale=SCALE, interpret=True)))
+        assert np.abs(core - pallas).max() <= 1
 
     def test_zero_delta_is_identity(self):
         """If the supporting-surfel average equals the measurement, blending

@@ -71,6 +71,17 @@ CREATION = 17                 # creation stamp (i32 bitcast)
 PACK_WIDTH = 18
 
 
+# Debug tap: tests set _TAP to a dict and run integrate_frame under
+# jax.disable_jit() to capture intermediate phase maps for oracle
+# comparison (under jit, _TAP is None at trace time and taps are no-ops).
+_TAP = None
+
+
+def _tap(name, value):
+    if _TAP is not None:
+        _TAP[name] = value
+
+
 def _i32(col: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(col, jnp.int32)
 
@@ -565,8 +576,14 @@ def _integrate_body(
     pix_a = jnp.where(proj_a, py * w + px, INVALID_INDEX)
     proj_b = proj_a & side_ok
     pix_b = jnp.where(proj_b, sy * w + sx, INVALID_INDEX)
-    pix_a_c = jnp.clip(pix_a, 0, hw - 1)
-    pix_b_c = jnp.clip(pix_b, 0, hw - 1)
+    # Gather pixels are valid for every live in-image surfel, not only
+    # active ones: the merge pass is not active-window gated (the reference
+    # comments the gate out, kernels.cu:2016-2017).  The scatter streams
+    # above stay active-gated (kernels.cu:1477,1718).
+    img_a = in_count & in_image
+    pix_a_c = jnp.clip(jnp.where(img_a, py * w + px, 0), 0, hw - 1)
+    pix_b_c = jnp.clip(jnp.where(img_a & side_ok, sy * w + sx, 0), 0,
+                       hw - 1)
 
     def _dbg_return(*live):
         probe = sum(jnp.sum(jnp.ravel(t)[:1].astype(jnp.float32))
@@ -580,6 +597,7 @@ def _integrate_body(
     first_depth = first_depth.at[
         jnp.concatenate([pix_a, pix_b])].min(
         jnp.concatenate([z, z]), mode="drop")
+    _tap("first_depth", first_depth)
     if params.debug_stop_after <= 1:
         return _dbg_return(first_depth)
 
@@ -678,6 +696,10 @@ def _integrate_body(
     support_counts = packed >> SUM_BITS
     support_depth_sums = (packed & ((1 << SUM_BITS) - 1)).astype(
         jnp.float32) * inv_scale
+    _tap("supporting_surfels", supporting_surfels)
+    _tap("support_counts", support_counts)
+    _tap("support_depth_sums", support_depth_sums)
+    _tap("has_conflict", has_conflict)
     if params.debug_stop_after <= 2:
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, has_conflict)
@@ -713,6 +735,8 @@ def _integrate_body(
     pack = pack.at[:, DETACH].set(
         jnp.maximum(pack[:, DETACH], m_on.astype(jnp.float32)))
     merge_count = state.merge_count + jnp.sum(m_on.astype(jnp.int32))
+    _tap("merge_mask", m_on)
+    _tap("pack_after_merge", pack)
     if params.debug_stop_after <= 3:
         return _dbg_return(pack, supporting_surfels, has_conflict,
                            first_depth, support_counts, support_depth_sums)
@@ -723,6 +747,7 @@ def _integrate_body(
             params, depth, supporting_surfels.reshape(h, w),
             support_counts.reshape(h, w), support_depth_sums.reshape(h, w))
         depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
+    _tap("blended_depth", depth)
 
     # Camera-space measurement data (post-blending), as one image pack.
     fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
@@ -861,6 +886,8 @@ def _integrate_body(
                                    base_on)
     pack, neighbors = integrate_at(pack, neighbors, rows_post_b, first_b,
                                    base_on & side_ok)
+    _tap("pack_after_integrate", pack)
+    _tap("neighbors_after_integrate", neighbors)
     if params.debug_stop_after <= 5:
         return _dbg_return(pack, neighbors)
 
@@ -869,6 +896,7 @@ def _integrate_body(
     neighbors = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors,
         rows_post_a, Tl, gpack)
+    _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)
 
@@ -882,6 +910,9 @@ def _integrate_body(
         img_post, depth_m_flat, pack, neighbors,
         state.surfel_count, state.overflow_count, frame_index,
         gpack, dest_translate)
+    _tap("pack_after_create", pack)
+    _tap("neighbors_after_create", neighbors)
+    _tap("surfel_count_after_create", surfel_count)
     if params.debug_stop_after <= 7:
         return _dbg_return(pack, neighbors, surfel_count[None],
                            overflow_count[None])

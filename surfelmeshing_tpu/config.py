@@ -98,6 +98,12 @@ class SurfelMeshingConfig:
     visualize_radii: bool = False
     visualize_surfel_normals: bool = False
     log_timings: Optional[str] = None
+    # With --log_timings: measure real per-phase device times by running
+    # cumulative-prefix fusion programs (debug_stop_after=k) and differencing
+    # blocked wall times — the XLA analog of the reference's per-phase
+    # cudaEvents (cuda_surfel_reconstruction.cc:112-320).  ~8x fusion cost
+    # per frame; diagnostic mode.
+    log_timings_staged: bool = False
     profile_dir: Optional[str] = None   # jax.profiler trace output (TPU-side
                                         # analog of the reference's cudaEvent
                                         # stage timing, main.cc:765-796)
@@ -243,6 +249,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize_surfel_normals", action="store_true")
     p.add_argument("--log_timings", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--log_timings_staged", action="store_true",
+                   help="with --log_timings: measure real per-phase device "
+                        "times via cumulative-prefix programs (~8x fusion "
+                        "cost; diagnostic)")
     p.add_argument("--use_shape_buckets", action="store_true",
                    help="compile the fusion step per power-of-2 surfel-count "
                         "bucket (TPU-specific; no reference equivalent)")
@@ -341,6 +351,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         visualize_radii=args.visualize_radii,
         visualize_surfel_normals=args.visualize_surfel_normals,
         log_timings=args.log_timings,
+        log_timings_staged=args.log_timings_staged,
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
         active_surfel_budget=args.active_surfel_budget,

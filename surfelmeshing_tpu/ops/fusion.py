@@ -327,6 +327,32 @@ def integrate_frame(
                            params)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def integrate_frame_probe(
+    state: SurfelState,
+    depth: jnp.ndarray,
+    normals_xy: jnp.ndarray,
+    radius_img: jnp.ndarray,
+    color: jnp.ndarray,
+    global_T_local: jnp.ndarray,
+    local_T_global: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    params: FusionParams,
+) -> SurfelState:
+    """Non-donating integrate for staged stage timing: callers pass
+    params.debug_stop_after = k and difference blocked wall times to get
+    per-phase device ms (the reference brackets each phase with cudaEvents,
+    cuda_surfel_reconstruction.cc:112-320; XLA programs can't be bracketed,
+    so the cumulative-prefix programs are timed instead)."""
+    if 0 < params.active_surfel_budget < state.pack.shape[0]:
+        return _integrate_tiled(state, depth, normals_xy, radius_img, color,
+                                global_T_local, local_T_global, frame_index,
+                                params)
+    return _integrate_body(state, depth, normals_xy, radius_img, color,
+                           global_T_local, local_T_global, frame_index,
+                           params)
+
+
 def _integrate_tiled(
     state: SurfelState,
     depth: jnp.ndarray,
@@ -1048,6 +1074,10 @@ def _blend_pallas(depth_f, supported, valid, avg, radius, scale, interpret):
                                else pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret
                                else pltpu.VMEM),
+        # The ring maps + Jacobi temporaries exceed the 16 MB default
+        # scoped-vmem budget at 640x480; the chip has more.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(depth_f, supported, valid, avg)
 

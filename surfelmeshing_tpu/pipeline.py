@@ -184,6 +184,10 @@ class ReconstructionPipeline:
         else:
             n_eff = self.config.max_surfel_count
 
+        if self.config.log_timings and self.config.log_timings_staged:
+            self._last_stage_ms.update(self._staged_stage_ms(
+                depth, normals, radius, color, T_gl, T_lg, frame_index))
+
         t0 = time.perf_counter()
         self.state = integrate_frame_bucketed(
             self.state, depth, normals, radius, jnp.asarray(color),
@@ -191,7 +195,7 @@ class ReconstructionPipeline:
             jnp.int32(frame_index), self.fusion_params, n_eff)
         t1 = time.perf_counter()
         self.timing.add_time("integration", t1 - t0)
-        self._last_stage_ms["integration"] = 1000.0 * (t1 - t0)
+        self._last_stage_ms.setdefault("integration", 1000.0 * (t1 - t0))
 
         if self.config.use_shape_buckets:
             # Kick off the async count readback for a later frame's bucket.
@@ -211,6 +215,45 @@ class ReconstructionPipeline:
         return FrameResult(frame_index=frame_index,
                            surfel_count=-1,  # fetched lazily via surfel_count()
                            merge_count=-1)
+
+    # Reference --log_timings column -> cumulative fusion prefix
+    # (debug_stop_after) ending that stage.  data_association covers the
+    # min-depth raster + association like the reference's pair of phases.
+    _STAGE_BOUNDARIES = (
+        ("data_association", 2),
+        ("surfel_merging", 3),
+        ("measurement_blending", 4),
+        ("integration", 5),
+        ("neighbor_update", 6),
+        ("new_surfel_creation", 7),
+        ("regularization", 99),
+    )
+
+    def _staged_stage_ms(self, depth, normals, radius, color, T_gl, T_lg,
+                         frame_index) -> Dict[str, float]:
+        """Real measured per-phase device times: run cumulative-prefix
+        fusion programs and difference their blocked wall times (the XLA
+        analog of the reference's per-phase cudaEvent brackets,
+        cuda_surfel_reconstruction.cc:112-320).  Does not mutate state."""
+        import dataclasses as _dc
+
+        from .ops.fusion import integrate_frame_probe
+
+        args = (jnp.asarray(depth), jnp.asarray(normals),
+                jnp.asarray(radius), jnp.asarray(color), jnp.asarray(T_gl),
+                jnp.asarray(T_lg), jnp.int32(frame_index))
+        out: Dict[str, float] = {}
+        prev = 0.0
+        for column, stop_after in self._STAGE_BOUNDARIES:
+            params = _dc.replace(self.fusion_params,
+                                 debug_stop_after=stop_after)
+            t0 = time.perf_counter()
+            probe = integrate_frame_probe(self.state, *args, params)
+            jax.block_until_ready(probe)
+            cumulative = time.perf_counter() - t0
+            out[column] = max(0.0, cumulative - prev) * 1000.0
+            prev = cumulative
+        return out
 
     def _preprocess(self, video: RGBDVideo, frame_index: int):
         cfg = self.config

@@ -104,3 +104,31 @@ def test_shape_buckets_path(dataset, tmp_path):
         pipe2.process_frame(video2, i)
     pipe2.block_until_ready()
     assert pipe.surfel_count() == pipe2.surfel_count()
+
+
+def test_staged_stage_timings(dataset, tmp_path):
+    """--log_timings_staged fills the reference's per-stage columns with
+    real measured device ms (VERDICT: no zero columns;
+    reference format main.cc:1531-1545)."""
+    log = tmp_path / "timings.txt"
+    _run(dataset, tmp_path, "--log_timings", str(log),
+         "--log_timings_staged")
+    lines = log.read_text().strip().splitlines()
+    assert lines
+    stages = ["data_association", "surfel_merging", "measurement_blending",
+              "integration", "neighbor_update", "new_surfel_creation",
+              "regularization"]
+    nonzero = {s: 0 for s in stages}
+    for line in lines:
+        toks = line.split()
+        vals = {toks[i]: float(toks[i + 1])
+                for i in range(2, len(toks) - 1, 2)}
+        for s in stages:
+            assert s in vals
+            if vals[s] > 0:
+                nonzero[s] += 1
+    # Every stage must be a real measurement on at least one frame (host
+    # timing noise on tiny CPU frames can clamp a small stage's delta to 0
+    # on some frames; a column that is ALWAYS zero means it isn't measured).
+    for s in stages:
+        assert nonzero[s] >= 1, (s, nonzero)

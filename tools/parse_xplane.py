@@ -15,7 +15,7 @@ import sys
 
 
 def load_xspace(path):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = sorted(glob.glob(f"{path}/**/*.xplane.pb", recursive=True))
     if not files:

@@ -99,6 +99,30 @@ class VideoWriter:
         if self.cfg.render_new_surfels_as_splats:
             splats = positions[mesh_surfels:]
             splat_colors = colors[mesh_surfels:]
+
+        # Debug line passes (surfel_meshing_render_window.cc:382-430):
+        # red surfel->neighbor segments, blue radius-length normal segments.
+        line_sets = []
+        if self.cfg.debug_neighbor_rendering or \
+                self.cfg.debug_normal_rendering:
+            from ..ops.fusion import INVALID_INDEX
+            smooth = np.asarray(F.smooth_positions(pipe.state)[:count])
+            if self.cfg.debug_neighbor_rendering:
+                nbrs = np.asarray(pipe.state.neighbors[:count])
+                src, slot = np.nonzero(nbrs != int(INVALID_INDEX))
+                tgt = nbrs[src, slot]
+                ok = tgt < count
+                segs = np.stack([smooth[src[ok]], smooth[tgt[ok]]], axis=1)
+                line_sets.append((segs, (255, 0, 0)))
+            if self.cfg.debug_normal_rendering:
+                radii = np.sqrt(np.maximum(
+                    np.asarray(F.radii_sq(pipe.state)[:count]), 0.0))
+                nrm = np.asarray(F.normals(pipe.state)[:count])
+                tips = smooth + radii[:, None] * nrm
+                segs = np.stack([smooth, tips], axis=1)
+                segs = segs[np.isfinite(segs).all(axis=(1, 2))]
+                line_sets.append((segs, (0, 0, 255)))
+
         img = self.renderer.render(
             view_pose,
             splat_points=splats,
@@ -111,7 +135,8 @@ class VideoWriter:
             frustum_pose=input_pose if self.cfg.render_camera_frustum
             else None,
             frustum_camera=pipe.camera if self.cfg.render_camera_frustum
-            else None)
+            else None,
+            line_sets=line_sets or None)
         from ..viewer.renderer import save_png
         save_png(f"frame{self.count:06d}.png", img)
         self.count += 1
@@ -175,6 +200,27 @@ def _terminal_controls(cfg, pipe, mesher, frame_index, input_pose,
             logger.info("recorded keyframe at frame %d", frame_index)
 
 
+def _dump_input_images(cfg, video, frame_index: int) -> None:
+    """Save the current input color/depth frame as PNGs (headless analog of
+    the reference's input-image windows, main.cc:744-747,1004-1008)."""
+    import os
+
+    from PIL import Image as PILImage
+
+    os.makedirs("input_images", exist_ok=True)
+    color = np.asarray(video.color_frames[frame_index].get_image())
+    if color.ndim == 2:
+        color = np.stack([color] * 3, axis=-1)
+    PILImage.fromarray(color[..., :3].astype(np.uint8)).save(
+        f"input_images/frame{frame_index:06d}_color.png")
+    depth = np.asarray(video.depth_frames[frame_index].get_image())
+    vmax = max(cfg.depth_scaling * cfg.max_depth, 1.0)
+    vis = np.clip(255.0 * depth.astype(np.float32) / vmax, 0,
+                  255).astype(np.uint8)
+    PILImage.fromarray(vis).save(
+        f"input_images/frame{frame_index:06d}_depth.png")
+
+
 def run(cfg: SurfelMeshingConfig) -> int:
     if not cfg.dataset_folder_path:
         print("error: dataset_folder_path is required", file=sys.stderr)
@@ -206,6 +252,20 @@ def run(cfg: SurfelMeshingConfig) -> int:
     half_window = cfg.outlier_filtering_frame_count // 2
 
     pipe = ReconstructionPipeline(cfg, video.depth_camera)
+
+    resume_frame = None
+    if cfg.load_checkpoint:
+        from ..io.checkpoint import load_checkpoint
+        import jax as _jax
+        state, resume_frame = load_checkpoint(cfg.load_checkpoint)
+        if state.pack.shape[0] != pipe.state.pack.shape[0]:
+            print("error: checkpoint capacity "
+                  f"{state.pack.shape[0]} != configured "
+                  f"{pipe.state.pack.shape[0]}", file=sys.stderr)
+            return 1
+        pipe.state = _jax.device_put(state, pipe.device)
+        logger.info("resumed from %s at frame %d", cfg.load_checkpoint,
+                    resume_frame)
 
     mesher = None
     try:
@@ -244,9 +304,17 @@ def run(cfg: SurfelMeshingConfig) -> int:
         profiler_ctx.__enter__()
         logger.info("profiling to %s", cfg.profile_dir)
 
-    frame_range = range(cfg.start_frame, end_frame - half_window)
+    first_frame = cfg.start_frame
+    if resume_frame is not None:
+        first_frame = max(first_frame, resume_frame + 1)
+    frame_range = range(first_frame, end_frame - half_window)
     for frame_index in frame_range:
         frame_start = time.perf_counter()
+        if cfg.show_input_images and video_writer is not None:
+            # Input-image display analog (main.cc:744-747,1004-1008): the
+            # reference shows the current color/depth frame in windows;
+            # headless, they are saved next to the video frames.
+            _dump_input_images(cfg, video, frame_index)
         result = pipe.process_frame(video, frame_index)
         if result is None:
             continue
@@ -340,6 +408,12 @@ def run(cfg: SurfelMeshingConfig) -> int:
         write_keyframes(cfg.record_keyframes, recorded_keyframes)
         logger.info("Wrote %d keyframes to %s", len(recorded_keyframes),
                     cfg.record_keyframes)
+
+    if cfg.save_checkpoint and last_frame is not None:
+        from ..io.checkpoint import save_checkpoint
+        save_checkpoint(cfg.save_checkpoint, pipe.state, last_frame)
+        logger.info("Wrote checkpoint %s (frame %d)", cfg.save_checkpoint,
+                    last_frame)
 
     if cfg.log_timings:
         with open(cfg.log_timings, "w") as f:

@@ -119,6 +119,11 @@ class SurfelMeshingConfig:
     # multiple.  TPU-specific flag with no reference equivalent.
     active_surfel_budget: int = 0
 
+    # Reconstruction-state checkpointing (TPU extension; the reference has
+    # none — SURVEY.md §5 "resume is re-run the dataset").
+    save_checkpoint: Optional[str] = None   # written after processing
+    load_checkpoint: Optional[str] = None   # resume before processing
+
     # --- Required input paths (main.cc:595-604) ---
     dataset_folder_path: Optional[str] = None
     trajectory_filename: Optional[str] = None
@@ -260,6 +265,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=d.active_surfel_budget,
                    help="active-set tiling working-set size in surfels; "
                         "0 = off (TPU-specific; no reference equivalent)")
+    p.add_argument("--save_checkpoint", type=str, default=None,
+                   help="write a reconstruction checkpoint (.npz) after "
+                        "processing (TPU extension)")
+    p.add_argument("--load_checkpoint", type=str, default=None,
+                   help="resume reconstruction from a checkpoint (.npz) "
+                        "(TPU extension)")
 
     # Required input paths (sequential parameters in the reference).
     p.add_argument("dataset_folder_path", type=str, nargs="?")
@@ -355,6 +366,8 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
         active_surfel_budget=args.active_surfel_budget,
+        save_checkpoint=args.save_checkpoint,
+        load_checkpoint=args.load_checkpoint,
         dataset_folder_path=args.dataset_folder_path,
         trajectory_filename=args.trajectory_filename,
     )

@@ -134,8 +134,11 @@ class ReconstructionPipeline:
         cfg = self.config
         half_window = cfg.outlier_filtering_frame_count // 2
 
-        # Upload the window of depth frames + the current color frame.
-        for idx in range(frame_index,
+        # Upload the window of depth frames + the current color frame.  The
+        # backward half is normally resident from previous iterations but is
+        # re-checked so checkpoint resume can jump into the middle of a
+        # sequence.
+        for idx in range(max(0, frame_index - half_window),
                          min(video.frame_count,
                              frame_index + half_window + 2)):
             self._upload_depth(video, idx)

@@ -124,8 +124,13 @@ class Renderer:
                frustum_pose: Optional[SE3] = None,
                frustum_camera=None,
                lines: Optional[np.ndarray] = None,
-               line_color=(255, 0, 0)) -> np.ndarray:
-        """Render one frame; returns (H, W, 3) u8."""
+               line_color=(255, 0, 0),
+               line_sets=None) -> np.ndarray:
+        """Render one frame; returns (H, W, 3) u8.
+
+        `line_sets` is an optional list of (segments, color) pairs for
+        additional debug line passes (neighbor/normal rendering,
+        reference surfel_meshing_render_window.cc:382-430)."""
         color, zbuf = self._begin()
         w2c = camera_pose.inverse()
 
@@ -146,6 +151,9 @@ class Renderer:
             self._draw_frustum(color, zbuf, w2c, frustum_pose, frustum_camera)
         if lines is not None and len(lines):
             self._draw_lines(color, zbuf, w2c, lines, line_color)
+        for segments, seg_color in (line_sets or ()):
+            if segments is not None and len(segments):
+                self._draw_lines(color, zbuf, w2c, segments, seg_color)
         return color
 
     # -- splats (point -> quad geometry shader analog, cc:948-1010) --------

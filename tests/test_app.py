@@ -132,3 +132,32 @@ def test_staged_stage_timings(dataset, tmp_path):
     # on some frames; a column that is ALWAYS zero means it isn't measured).
     for s in stages:
         assert nonzero[s] >= 1, (s, nonzero)
+
+
+def test_debug_line_rendering_and_input_images(dataset, tmp_path):
+    """--debug_neighbor_rendering / --debug_normal_rendering draw line sets
+    (surfel_meshing_render_window.cc:382-430) and --show_input_images (on by
+    default) dumps the current inputs alongside video frames."""
+    import glob
+    _run(dataset, tmp_path, "--create_video",
+         "--debug_neighbor_rendering", "--debug_normal_rendering")
+    assert glob.glob(str(tmp_path / "frame*.png"))
+    assert glob.glob(str(tmp_path / "input_images" / "*_color.png"))
+    assert glob.glob(str(tmp_path / "input_images" / "*_depth.png"))
+
+
+def test_hide_input_images(dataset, tmp_path):
+    _run(dataset, tmp_path, "--create_video", "--hide_input_images")
+    assert not (tmp_path / "input_images").exists()
+
+
+def test_checkpoint_save_and_resume(dataset, tmp_path):
+    """--save_checkpoint / --load_checkpoint round-trip through the CLI."""
+    ckpt = tmp_path / "state.npz"
+    _run(dataset, tmp_path, "--save_checkpoint", str(ckpt),
+         "--export_point_cloud", str(tmp_path / "a.ply"))
+    assert ckpt.exists()
+    _run(dataset, tmp_path, "--load_checkpoint", str(ckpt),
+         "--export_point_cloud", str(tmp_path / "b.ply"))
+    b = (tmp_path / "b.ply").read_bytes()
+    assert len(b) > 200  # restored surfels exported

@@ -39,7 +39,8 @@ def run_batched(dataset_dirs, trajectory_filename: str,
     from ..io.tum import read_tum_rgbd_dataset
     from ..ops import preprocess as pp
     from ..ops.fusion import RAD, SX, SZ, FusionParams
-    from ..parallel.batch import create_batched_state, make_batched_step
+    from ..parallel.batch import (create_batched_state, make_batched_preprocess,
+                                  make_batched_step)
 
     s = len(dataset_dirs)
     if devices is None:
@@ -87,37 +88,34 @@ def run_batched(dataset_dirs, trajectory_filename: str,
 
     state = create_batched_state(s, max_surfel_count, mesh)
     step = make_batched_step(params, mesh)
+    # Preprocessing runs sharded on the mesh too (SURVEY.md §2.4): the host
+    # only assembles raw (S, ...) input stacks; preprocessed maps stay
+    # device-resident and flow straight into the fusion step.
+    preprocess = make_batched_preprocess(pp_kwargs, mesh)
 
     k = outlier_filtering_frame_count
     n_frames = min(v.frame_count for v in videos) - k // 2
     if max_frames:
         n_frames = min(n_frames, max_frames + k // 2)
+    offsets = list(range(-k // 2, 0)) + list(range(1, k // 2 + 1))
 
-    t0 = time.perf_counter()
-    frames_done = 0
-    for i in range(k // 2, n_frames):
-        depths, normals_b, radii, colors, t_gls, t_lgs = \
-            [], [], [], [], [], []
+    def assemble(i):
+        """Host I/O: raw input stacks for frame i (numpy only)."""
+        depths, others_b, ts, colors, t_gls, t_lgs = [], [], [], [], [], []
         for v in videos:
-            depth = np.asarray(v.depth_frames[i].get_image()) \
-                .astype(np.uint16)
-            others = np.stack([
+            depths.append(np.asarray(v.depth_frames[i].get_image())
+                          .astype(np.uint16))
+            others_b.append(np.stack([
                 np.asarray(v.depth_frames[i + o].get_image())
-                .astype(np.uint16)
-                for o in list(range(-k // 2, 0)) + list(range(1, k // 2 + 1))])
+                .astype(np.uint16) for o in offsets]))
             ref = v.depth_frames[i].global_T_frame \
                 .scaled_translation(cfg.depth_scaling)
-            T = np.stack([
+            ts.append(np.stack([
                 ((ref.inverse() * v.depth_frames[i + o].global_T_frame
                   .scaled_translation(cfg.depth_scaling)).inverse()
                  .matrix3x4())
-                for o in list(range(-k // 2, 0)) +
-                list(range(1, k // 2 + 1))]).astype(np.float32)
-            d, nrm, rad = pp.preprocess_frame(depth, others, T, **pp_kwargs)
+                for o in offsets]).astype(np.float32))
             color = np.asarray(v.color_frames[i].get_image())[..., :3]
-            depths.append(np.asarray(d))
-            normals_b.append(np.asarray(nrm))
-            radii.append(np.asarray(rad))
             colors.append(np.ascontiguousarray(color.transpose(2, 0, 1)))
             t_gls.append(v.depth_frames[i].global_T_frame.matrix3x4()
                          .astype(np.float32))
@@ -125,15 +123,28 @@ def run_batched(dataset_dirs, trajectory_filename: str,
                          .matrix3x4().astype(np.float32))
             v.depth_frames[i - k // 2].clear_image()
             v.color_frames[i].clear_image()
+        return tuple(np.stack(a) for a in
+                     (depths, others_b, ts, colors, t_gls, t_lgs))
 
+    from concurrent.futures import ThreadPoolExecutor
+    io_pool = ThreadPoolExecutor(max_workers=1)
+
+    t0 = time.perf_counter()
+    frames_done = 0
+    pending = io_pool.submit(assemble, k // 2)
+    for i in range(k // 2, n_frames):
+        depth_s, others_s, t_s, color_s, t_gl_s, t_lg_s = pending.result()
+        if i + 1 < n_frames:   # overlap next frame's disk I/O with compute
+            pending = io_pool.submit(assemble, i + 1)
+        d, nrm, rad = preprocess(jnp.asarray(depth_s),
+                                 jnp.asarray(others_s), jnp.asarray(t_s))
         state, total = step(
-            state, jnp.asarray(np.stack(depths)),
-            jnp.asarray(np.stack(normals_b)), jnp.asarray(np.stack(radii)),
-            jnp.asarray(np.stack(colors)), jnp.asarray(np.stack(t_gls)),
-            jnp.asarray(np.stack(t_lgs)), jnp.int32(i))
+            state, d, nrm, rad, jnp.asarray(color_s),
+            jnp.asarray(t_gl_s), jnp.asarray(t_lg_s), jnp.int32(i))
         frames_done += 1
         if i % 50 == 0:
             logger.info("frame %d: %d surfels total", i, int(total))
+    io_pool.shutdown()
 
     import jax
     jax.block_until_ready(state)

@@ -733,26 +733,28 @@ def _integrate_body(
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     supported = supporting_surfels[pix_a_c]
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
-    # Narrow row-gather: pos/normal/radius columns in ONE gather (gather
-    # cost scales with the index stream, barely with row width).  Gathers
-    # by global surfel index read the full pack (still pristine here — the
-    # merge tombstone below is the frame's first pack mutation).
+    # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
+    # (measured fast-gather requirements, PERF.md).  Gathers by global
+    # surfel index read the full pack (still pristine here — the merge
+    # tombstone below is the frame's first pack mutation).
     pack0_src = pack if tiling is None else tiling.full_pack
-    merge_cols = pack0_src[:, PX:RAD + 1]            # PX..NZ,CONF,RAD
-    sup_rows = merge_cols[jnp.clip(supported, 0, pack0_src.shape[0] - 1)]
-    other_radius = sup_rows[:, RAD]
+    merge_src = jnp.concatenate(
+        [pack0_src[:, PX:PZ + 1], pack0_src[:, NX:NZ + 1],
+         pack0_src[:, RAD:RAD + 1]], axis=1)         # 7 cols
+    sup_rows = merge_src[jnp.clip(supported, 0, pack0_src.shape[0] - 1)]
+    other_radius = sup_rows[:, 6]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)
     m_on = m_on & (radius_ratio <= MERGE_RADIUS_DIFF_THRESHOLD_SQ) & \
         (radius_ratio >= 1.0 / MERGE_RADIUS_DIFF_THRESHOLD_SQ)
-    ddx = ox - sup_rows[:, PX]
-    ddy = oy - sup_rows[:, PY]
-    ddz = oz - sup_rows[:, PZ]
+    ddx = ox - sup_rows[:, 0]
+    ddy = oy - sup_rows[:, 1]
+    ddz = oz - sup_rows[:, 2]
     m_on = m_on & (ddx * ddx + ddy * ddy + ddz * ddz <=
                    MERGE_DISTANCE_FACTOR * (radius_col + other_radius))
-    m_on = m_on & (pack[:, NX] * sup_rows[:, NX] +
-                   pack[:, NY] * sup_rows[:, NY] +
-                   pack[:, NZ] * sup_rows[:, NZ] >=
+    m_on = m_on & (pack[:, NX] * sup_rows[:, 3] +
+                   pack[:, NY] * sup_rows[:, 4] +
+                   pack[:, NZ] * sup_rows[:, 5] >=
                    MERGE_COS_NORMAL_THRESHOLD)
 
     pack = pack.at[:, STAMP].set(
@@ -794,44 +796,55 @@ def _integrate_body(
     cg = color[1].reshape(hw).astype(jnp.float32)
     cb = color[2].reshape(hw).astype(jnp.float32)
 
-    # Post-blend image pack, also carrying the supporting-surfel index of the
-    # 4 adjacent pixels (regular shifts, not gathers) for phase 6.
+    # Post-blend image packs.  Split into <=8-column sources: TPU row
+    # gathers from sources up to 8 f32 columns (one sublane group) run ~5x
+    # faster than wider ones (measured; see PERF.md), so three narrow
+    # gathers beat one 20-wide gather.
     sup_f = _f32bits(supporting_surfels)
     if params.exact_conflict_arbitration:
         conflict_col = _f32bits(conflicting_surfels)
     else:
         conflict_col = jnp.zeros((hw,), jnp.float32)
-    img_post = jnp.stack([
+    img_geo = jnp.stack([
         depth_m_flat,                               # 0 meas (post-blend)
         pgx, pgy, pgz,                              # 1-3 global point
         ngx, ngy, ngz,                              # 4-6 global normal
-        cr, cg, cb,                                 # 7-9 color
-        support_counts.astype(jnp.float32),         # 10
-        conflict_col,                               # 11 conflictor map (opt)
-        radius_flat,                                # 12
-        mnx, mny, mnz,                              # 13-15 meas normal (cam)
-        _shift_flat(sup_f, hw, -1),                 # 16 supporting at x-1
-        _shift_flat(sup_f, hw, +1),                 # 17 supporting at x+1
-        _shift_flat(sup_f, hw, -w),                 # 18 supporting at y-1
-        _shift_flat(sup_f, hw, +w),                 # 19 supporting at y+1
+        support_counts.astype(jnp.float32),         # 7
+    ], axis=1)
+    img_app = jnp.stack([
+        cr, cg, cb,                                 # 0-2 color
+        radius_flat,                                # 3
+        mnx, mny, mnz,                              # 4-6 meas normal (cam)
+        conflict_col,                               # 7 conflictor map (opt)
+    ], axis=1)
+    # Supporting-surfel index at the 4 adjacent pixels (regular shifts, not
+    # gathers) for phases 6-7.
+    img_sup = jnp.stack([
+        _shift_flat(sup_f, hw, -1),                 # 0 supporting at x-1
+        _shift_flat(sup_f, hw, +1),                 # 1 supporting at x+1
+        _shift_flat(sup_f, hw, -w),                 # 2 supporting at y-1
+        _shift_flat(sup_f, hw, +w),                 # 3 supporting at y+1
     ], axis=1)
     if params.debug_stop_after <= 4:
-        return _dbg_return(img_post)
+        return _dbg_return(img_geo, img_app, img_sup)
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
-    rows_post_a = img_post[pix_a_c]
-    rows_post_b = img_post[pix_b_c]
+    geo_a = img_geo[pix_a_c]
+    app_a = img_app[pix_a_c]
+    geo_b = img_geo[pix_b_c]
+    app_b = img_app[pix_b_c]
+    sup_a = img_sup[pix_a_c]
 
     neighbors = state.neighbors
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
-    def integrate_at(pack, neighbors, rows, first, on):
-        meas = rows[:, 0]
+    def integrate_at(pack, neighbors, geo, app, first, on):
+        meas = geo[:, 0]
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z)
         if params.exact_conflict_arbitration:
-            conflicting = conflicting & (_i32(rows[:, 11]) == idx)
+            conflicting = conflicting & (_i32(app[:, 7]) == idx)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
@@ -843,11 +856,11 @@ def _integrate_body(
         dec = conflicting & ~reinit
 
         reinit_cols = {
-            PX: rows[:, 1], PY: rows[:, 2], PZ: rows[:, 3],
-            SX: rows[:, 1], SY: rows[:, 2], SZ: rows[:, 3],
-            NX: rows[:, 4], NY: rows[:, 5], NZ: rows[:, 6],
-            CR: rows[:, 7], CG: rows[:, 8], CB: rows[:, 9],
-            RAD: rows[:, 12], CONF: jnp.ones_like(conf0),
+            PX: geo[:, 1], PY: geo[:, 2], PZ: geo[:, 3],
+            SX: geo[:, 1], SY: geo[:, 2], SZ: geo[:, 3],
+            NX: geo[:, 4], NY: geo[:, 5], NZ: geo[:, 6],
+            CR: app[:, 0], CG: app[:, 1], CB: app[:, 2],
+            RAD: app[:, 3], CONF: jnp.ones_like(conf0),
             DETACH: jnp.ones_like(conf0),
             CREATION: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
             STAMP: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
@@ -868,35 +881,35 @@ def _integrate_body(
             jnp.maximum(surfel_dist, 1e-30)
         on = on & (dot_view <= SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
         compat_needed = meas < z
-        compat = (lsnx * rows[:, 13] + lsny * rows[:, 14] +
-                  lsnz * rows[:, 15]) >= cos_compat
+        compat = (lsnx * app[:, 4] + lsny * app[:, 5] +
+                  lsnz * app[:, 6]) >= cos_compat
         on = on & (~compat_needed | compat)
         on = on & (cols[RAD] >= 0)
         # Surfels replaced this frame are not updated (kernels.cu:937-940).
         on = on & (_i32(cols[CREATION]) < frame_index)
 
-        weight = 1.0 / jnp.maximum(1.0, rows[:, 10])
+        weight = 1.0 / jnp.maximum(1.0, geo[:, 7])
         conf = cols[CONF]
         norm_factor = 1.0 / (conf + weight)
 
         cols[CONF] = jnp.where(
             on, jnp.minimum(conf + weight, params.max_surfel_confidence),
             cols[CONF])
-        for k, g in ((PX, rows[:, 1]), (PY, rows[:, 2]), (PZ, rows[:, 3])):
+        for k, g in ((PX, geo[:, 1]), (PY, geo[:, 2]), (PZ, geo[:, 3])):
             cols[k] = jnp.where(on, (conf * cols[k] + weight * g) *
                                 norm_factor, cols[k])
-        bnx = conf * cols[NX] + weight * rows[:, 4]
-        bny = conf * cols[NY] + weight * rows[:, 5]
-        bnz = conf * cols[NZ] + weight * rows[:, 6]
+        bnx = conf * cols[NX] + weight * geo[:, 4]
+        bny = conf * cols[NY] + weight * geo[:, 5]
+        bnz = conf * cols[NZ] + weight * geo[:, 6]
         bl = jnp.maximum(jnp.sqrt(bnx * bnx + bny * bny + bnz * bnz), 1e-30)
         cols[NX] = jnp.where(on, bnx / bl, cols[NX])
         cols[NY] = jnp.where(on, bny / bl, cols[NY])
         cols[NZ] = jnp.where(on, bnz / bl, cols[NZ])
-        cols[RAD] = jnp.where(on, jnp.minimum(cols[RAD], rows[:, 12]),
+        cols[RAD] = jnp.where(on, jnp.minimum(cols[RAD], app[:, 3]),
                               cols[RAD])
         # u8 color blend with +0.5 truncation (kernels.cu:962-967); the
         # update also clears the detach flag.
-        for k, g in ((CR, rows[:, 7]), (CG, rows[:, 8]), (CB, rows[:, 9])):
+        for k, g in ((CR, app[:, 0]), (CG, app[:, 1]), (CB, app[:, 2])):
             cols[k] = jnp.where(
                 on, jnp.floor((conf * cols[k] + weight * g) * norm_factor
                               + 0.5), cols[k])
@@ -908,9 +921,9 @@ def _integrate_body(
 
     first_a = rows_pre_a[:, 1]
     first_b = rows_pre_b[:, 1]
-    pack, neighbors = integrate_at(pack, neighbors, rows_post_a, first_a,
+    pack, neighbors = integrate_at(pack, neighbors, geo_a, app_a, first_a,
                                    base_on)
-    pack, neighbors = integrate_at(pack, neighbors, rows_post_b, first_b,
+    pack, neighbors = integrate_at(pack, neighbors, geo_b, app_b, first_b,
                                    base_on & side_ok)
     _tap("pack_after_integrate", pack)
     _tap("neighbors_after_integrate", neighbors)
@@ -921,7 +934,7 @@ def _integrate_body(
     gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
     neighbors = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors,
-        rows_post_a, Tl, gpack)
+        geo_a, app_a, sup_a, Tl, gpack)
     _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)
@@ -932,8 +945,8 @@ def _integrate_body(
     else:
         conflict_free = ~has_conflict
     (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
-        params, depth, radius_flat, supporting_surfels, conflict_free,
-        img_post, depth_m_flat, pack, neighbors,
+        params, depth, supporting_surfels, conflict_free,
+        img_geo, img_app, img_sup, depth_m_flat, pack, neighbors,
         state.surfel_count, state.overflow_count, frame_index,
         gpack, dest_translate)
     _tap("pack_after_create", pack)
@@ -1110,14 +1123,15 @@ def _blend_measurements(params, depth, supporting_surfels, counts, sums):
 
 
 def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
-                      neighbors, rows_post_a, Tl, gpack):
+                      neighbors, geo_a, app_a, sup_a, Tl, gpack):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
     of the 4 adjacent pixels (kernels.cu:1197-1455).
 
-    The adjacent supporting-surfel indices ride in the phase-5 image rows
-    (cols 16-19), so this phase needs only the candidate/slot row gathers —
-    both from `gpack`, the full pack synced after phase 5 (== `pack` in
-    full-shape mode).
+    The adjacent supporting-surfel indices ride in the gathered image rows
+    (sup_a), so this phase needs only the candidate/slot row gathers — both
+    from a <=8-column concat of `gpack`, the full pack synced after phase 5
+    (== `pack` in full-shape mode); indices are flattened to 1-D (both
+    measured requirements for fast TPU gathers, see PERF.md).
     """
     n = gpack.shape[0]
     h, w = params.height, params.width
@@ -1128,7 +1142,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
     border_ok = (px >= 1) & (py >= 1) & (px < w - 1) & (py < h - 1) & (z > 0)
     on = active & border_ok
-    meas = rows_post_a[:, 0]
+    meas = geo_a[:, 0]
     on = on & ~(z > (1.0 + noise) * meas)     # zero meas occludes everything
     nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
     lsnx = Tl[0, 0] * nx_ + Tl[0, 1] * ny_ + Tl[0, 2] * nz_
@@ -1140,42 +1154,46 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
                SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
     on = on & (radius_col >= 0)
     if CHECK_SCALE_COMPAT_NEIGHBORS:
-        on = on & (rows_post_a[:, 12] /
+        on = on & (app_a[:, 3] /
                    jnp.where(radius_col != 0, radius_col, 1e-30)
                    <= MAX_OBSERVATION_RADIUS_FACTOR ** 2)
 
     ox, oy, oz = pack[:, PX], pack[:, PY], pack[:, PZ]
 
-    # One contiguous column slice serves both the slot and candidate
-    # gathers: PX..DETACH covers raw position, normal, and the detach flag
-    # (column order is arranged for this; no concat materialization).  The
-    # detach flag rides along so no fresh gather is needed at the end: the
-    # pack is static during this phase, so a slot's detach value is known
-    # from whichever gather fetched it (old slot or candidate).
-    pn_pack = gpack[:, PX:DETACH + 1]
+    # A 7-column concat-materialized gather source: raw position, normal,
+    # detach.  The detach flag rides along so no fresh gather is needed at
+    # the end: the pack is static during this phase, so a slot's detach
+    # value is known from whichever gather fetched it (old slot or
+    # candidate).
+    pn_pack = jnp.concatenate(
+        [gpack[:, PX:PZ + 1], gpack[:, NX:NZ + 1],
+         gpack[:, DETACH:DETACH + 1]], axis=1)
 
-    # Existing slots: one narrow row gather for distances (+ detach).
+    # Existing slots: one narrow row gather (flat indices) for distances
+    # (+ detach).
     slot_idx = neighbors                                  # (N, 4)
-    slot_rows = pn_pack[jnp.clip(slot_idx, 0, n - 1)]     # (N, 4, 12)
+    slot_rows = pn_pack[
+        jnp.clip(slot_idx, 0, n - 1).reshape(-1)].reshape(
+        slot_idx.shape[0], 4, 7)
     slot_valid = slot_idx != INVALID_INDEX
-    sdx = slot_rows[..., PX] - ox[:, None]
-    sdy = slot_rows[..., PY] - oy[:, None]
-    sdz = slot_rows[..., PZ] - oz[:, None]
+    sdx = slot_rows[..., 0] - ox[:, None]
+    sdy = slot_rows[..., 1] - oy[:, None]
+    sdz = slot_rows[..., 2] - oz[:, None]
     slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
                           jnp.inf)
-    slot_det = slot_rows[..., DETACH]
+    slot_det = slot_rows[..., 6]
 
     for direction in range(4):
-        cand = _i32(rows_post_a[:, 16 + direction])
+        cand = _i32(sup_a[:, direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
         cand_rows = pn_pack[jnp.clip(cand, 0, n - 1)]     # one narrow gather
-        cdx = cand_rows[:, PX] - ox
-        cdy = cand_rows[:, PY] - oy
-        cdz = cand_rows[:, PZ] - oz
+        cdx = cand_rows[:, 0] - ox
+        cdy = cand_rows[:, 1] - oy
+        cdz = cand_rows[:, 2] - oz
         c_dist = cdx * cdx + cdy * cdy + cdz * cdz
         c_ok = c_ok & (c_dist <= reg_factor_sq * radius_col)
-        c_ok = c_ok & (nx_ * cand_rows[:, NX] + ny_ * cand_rows[:, NY] +
-                       nz_ * cand_rows[:, NZ] > 0)
+        c_ok = c_ok & (nx_ * cand_rows[:, 3] + ny_ * cand_rows[:, 4] +
+                       nz_ * cand_rows[:, 5] > 0)
 
         already = jnp.any(slot_idx == cand[:, None], axis=-1)
         c_ok = c_ok & ~already
@@ -1188,8 +1206,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
         slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
         slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
-        slot_det = jnp.where(onehot, cand_rows[:, DETACH:DETACH + 1],
-                             slot_det)
+        slot_det = jnp.where(onehot, cand_rows[:, 6:7], slot_det)
 
     # Drop neighbors whose surfel has the detach flag set
     # (kernels.cu:1420-1437).
@@ -1197,8 +1214,9 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
     return jnp.where(slot_detach, INVALID_INDEX, slot_idx)
 
 
-def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
-                        conflict_free, img_post, depth_m_flat,
+def _create_new_surfels(params, depth, supporting_surfels,
+                        conflict_free, img_geo, img_app, img_sup,
+                        depth_m_flat,
                         pack, neighbors, surfel_count, overflow_count,
                         frame_index, gpack, dest_translate):
     """Append a surfel for every unexplained valid depth pixel
@@ -1239,10 +1257,12 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
         lin, mode="drop", unique_indices=True)
 
     # ---- Everything below runs in the C domain. ----
-    rows_img = img_post[src_pix]                            # (C, 20)
-    pgx, pgy, pgz = rows_img[:, 1], rows_img[:, 2], rows_img[:, 3]
-    depth_c = rows_img[:, 0]
-    radius_c = rows_img[:, 12]
+    geo_c = img_geo[src_pix]                                # (C, 8)
+    app_c = img_app[src_pix]                                # (C, 8)
+    sup_c = img_sup[src_pix]                                # (C, 4)
+    pgx, pgy, pgz = geo_c[:, 1], geo_c[:, 2], geo_c[:, 3]
+    depth_c = geo_c[:, 0]
+    radius_c = app_c[:, 3]
 
     # Adjacent-pixel creation info: flags/prefix/depth at the 4 neighbors of
     # each source pixel (source pixels are interior, so +-1/+-W stay in
@@ -1259,8 +1279,8 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     ps_pack = gpack[:, PX:SZ + 1]             # pos + smooth (6 cols)
     for k, shift in enumerate(shifts):
         # Supporting surfel at that adjacency rides in the gathered image
-        # row (img_post cols 16-19 are the shifted supporting maps).
-        sup = _i32(rows_img[:, 16 + k])
+        # row (img_sup columns are the shifted supporting maps).
+        sup = _i32(sup_c[:, k])
         has_sup = sup != INVALID_INDEX
         sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # narrow C-row gather
         dx = sup_rows[:, 0] - pgx
@@ -1298,11 +1318,11 @@ def _create_new_surfels(params, depth, radius_flat, supporting_surfels,
     new_rows_cols[SX], new_rows_cols[SY], new_rows_cols[SZ] = \
         new_sx, new_sy, new_sz
     new_rows_cols[NX], new_rows_cols[NY], new_rows_cols[NZ] = \
-        rows_img[:, 4], rows_img[:, 5], rows_img[:, 6]
+        geo_c[:, 4], geo_c[:, 5], geo_c[:, 6]
     new_rows_cols[CONF] = ones
     new_rows_cols[RAD] = radius_c
     new_rows_cols[CR], new_rows_cols[CG], new_rows_cols[CB] = \
-        rows_img[:, 7], rows_img[:, 8], rows_img[:, 9]
+        app_c[:, 0], app_c[:, 1], app_c[:, 2]
     new_rows_cols[CREATION] = frame_f
     new_rows_cols[STAMP] = frame_f
     new_rows_cols[RCNT] = jnp.zeros((c_budget,), jnp.float32)
@@ -1356,9 +1376,12 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
 
     gsrc = sync_fn(pack)
     n = gsrc.shape[0]
-    nbr_clip = jnp.clip(neighbors, 0, n - 1)
-    # Contiguous column slice: smooth position + stamp (SX..STAMP).
-    slot_rows = gsrc[:, SX:STAMP + 1][nbr_clip]              # (N, 4, 4)
+    nbr_flat = jnp.clip(neighbors, 0, n - 1).reshape(-1)
+    # Narrow concat source + flat indices (fast-gather rules, PERF.md):
+    # smooth position + stamp.
+    reg_src = jnp.concatenate(
+        [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:STAMP + 1]], axis=1)
+    slot_rows = reg_src[nbr_flat].reshape(neighbors.shape[0], 4, 4)
     slot_valid = neighbors != INVALID_INDEX                  # (N, 4)
     slot_recent = _i32(slot_rows[..., 3]) >= frame_index - window
     use = slot_valid & slot_recent
@@ -1382,7 +1405,9 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
         recent_self = stamps >= frame_index - window
         pack = pack.at[:, RCNT].set(cnt)
         gsrc = sync_fn(pack)
-        side_rows = gsrc[:, NX:RCNT + 1][nbr_clip]            # (N, 4, 4)
+        side_src = jnp.concatenate(
+            [gsrc[:, NX:NZ + 1], gsrc[:, RCNT:RCNT + 1]], axis=1)
+        side_rows = side_src[nbr_flat].reshape(neighbors.shape[0], 4, 4)
         cnt_i = side_rows[..., 3]
         factor_i = jnp.where(cnt_i > 0,
                              2.0 * w_reg / jnp.maximum(cnt_i, 1.0), 0.0)

@@ -370,12 +370,18 @@ class ReconstructionPipeline:
     def snapshot(self):
         """SoA snapshot for the meshing engine (TransferAllToCPU analog;
         timed like the reference's surfel_transfer stage,
-        main.cc:1255-1266)."""
+        main.cc:1255-1266).  The device->host transfer is sliced at the
+        next power-of-2 above the surfel count so each bucket compiles its
+        slice executable once (a fresh shape per frame would recompile)."""
         t0 = time.perf_counter()
         smooth, radius_sq, normal, stamps, count = meshing_snapshot(self.state)
         count = int(count)
-        out = (np.asarray(smooth[:count]), np.asarray(radius_sq[:count]),
-               np.asarray(normal[:count]), np.asarray(stamps[:count]), count)
+        pad = min(1 << max(10, (max(count, 2) - 1).bit_length()),
+                  smooth.shape[0])
+        out = (np.asarray(smooth[:pad])[:count],
+               np.asarray(radius_sq[:pad])[:count],
+               np.asarray(normal[:pad])[:count],
+               np.asarray(stamps[:pad])[:count], count)
         elapsed = time.perf_counter() - t0
         self.timing.add_time("surfel_transfer", elapsed)
         if hasattr(self, "_last_stage_ms"):

@@ -288,6 +288,30 @@ def run(cfg: SurfelMeshingConfig) -> int:
     video_writer = VideoWriter(cfg, video.depth_camera) \
         if cfg.create_video else None
 
+    live_viewer = None
+    last_pushed_mesh = (-1, -1)
+    if cfg.live_viewer_port:
+        from ..viewer.live import LiveViewerServer
+        live_viewer = LiveViewerServer(port=cfg.live_viewer_port)
+        logger.info("live viewer: http://127.0.0.1:%d/", live_viewer.port)
+
+    def push_live(force=False):
+        nonlocal last_pushed_mesh
+        if live_viewer is None:
+            return
+        from ..ops.fusion import export_vertices
+        out = mesher.peek_output() if mesher is not None else None
+        mesh_id = (out[0], len(out[2])) if out is not None else (-1, 0)
+        if not force and mesh_id == last_pushed_mesh:
+            return
+        last_pushed_mesh = mesh_id
+        positions, colors = export_vertices(pipe.state)
+        count = pipe.surfel_count()
+        tris = out[2] if out is not None else np.zeros((0, 3), np.uint32)
+        mesh_count = out[1] if out is not None else 0
+        live_viewer.update(np.asarray(positions[:count]),
+                           np.asarray(colors[:count]), tris, mesh_count)
+
     stats_interval = 200
     frame_count_hits = 0
     frame_count_misses = 0
@@ -349,6 +373,9 @@ def run(cfg: SurfelMeshingConfig) -> int:
             video_writer.render_frame(pipe, mesher, view_pose, input_pose,
                                       frame_index)
 
+        if live_viewer is not None and \
+                (processed_frames % 5 == 0 or mesher is None):
+            push_live()
         if cfg.log_timings:
             pipe.log_frame_timings(frame_index)
         if frame_index % stats_interval == 0:
@@ -403,6 +430,14 @@ def run(cfg: SurfelMeshingConfig) -> int:
             mesher.submit(*pipe.snapshot(), last_frame)
         mesher.finish(full_retriangulation=cfg.full_retriangulation_at_end)
         logger.info("final mesh: %d triangles", mesher.engine.triangle_count)
+        if live_viewer is not None:
+            # Final state (the mesher thread has exited; publish directly).
+            from ..ops.fusion import export_vertices
+            positions, colors = export_vertices(pipe.state)
+            count = pipe.surfel_count()
+            live_viewer.update(
+                np.asarray(positions[:count]), np.asarray(colors[:count]),
+                mesher.engine.get_triangles(), count)
 
     if cfg.record_keyframes and recorded_keyframes:
         write_keyframes(cfg.record_keyframes, recorded_keyframes)

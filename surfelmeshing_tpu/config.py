@@ -119,6 +119,12 @@ class SurfelMeshingConfig:
     # multiple.  TPU-specific flag with no reference equivalent.
     active_surfel_budget: int = 0
 
+    # Live browser viewer (headless analog of the reference's interactive
+    # Qt/OpenGL window, surfel_meshing_render_window.cc:195-430): serve an
+    # orbit-navigation WebGL viewer with live mesh updates on this port.
+    # 0 = off.
+    live_viewer_port: int = 0
+
     # Reconstruction-state checkpointing (TPU extension; the reference has
     # none — SURVEY.md §5 "resume is re-run the dataset").
     save_checkpoint: Optional[str] = None   # written after processing
@@ -265,6 +271,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=d.active_surfel_budget,
                    help="active-set tiling working-set size in surfels; "
                         "0 = off (TPU-specific; no reference equivalent)")
+    p.add_argument("--live_viewer", type=int, default=0, metavar="PORT",
+                   help="serve the live WebGL viewer on this port (0=off)")
     p.add_argument("--save_checkpoint", type=str, default=None,
                    help="write a reconstruction checkpoint (.npz) after "
                         "processing (TPU extension)")
@@ -366,6 +374,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
         active_surfel_budget=args.active_surfel_budget,
+        live_viewer_port=args.live_viewer,
         save_checkpoint=args.save_checkpoint,
         load_checkpoint=args.load_checkpoint,
         dataset_folder_path=args.dataset_folder_path,

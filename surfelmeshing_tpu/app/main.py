@@ -108,7 +108,7 @@ class VideoWriter:
             from ..ops.fusion import INVALID_INDEX
             smooth = np.asarray(F.smooth_positions(pipe.state)[:count])
             if self.cfg.debug_neighbor_rendering:
-                nbrs = np.asarray(pipe.state.neighbors[:count])
+                nbrs = np.asarray(pipe.state.neighbors[:, :count]).T
                 src, slot = np.nonzero(nbrs != int(INVALID_INDEX))
                 tgt = nbrs[src, slot]
                 ok = tgt < count

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..ops.fusion import SurfelState
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_checkpoint(path: str, state: SurfelState, frame_index: int) -> None:
@@ -29,7 +29,8 @@ def load_checkpoint(path: str):
 
     data = np.load(path)
     if int(data["version"]) != _FORMAT_VERSION:
-        # v1 used a different pack column order; no migration path.
+        # older versions used different pack column order / neighbor
+        # layout; no migration path.
         raise ValueError(f"unsupported checkpoint version {data['version']}")
     fields = {}
     for name in SurfelState._fields:

@@ -93,7 +93,10 @@ def _f32bits(x: jnp.ndarray) -> jnp.ndarray:
 class SurfelState(NamedTuple):
     """Fixed-capacity packed surfel map; a pytree living in HBM."""
     pack: jnp.ndarray           # (N, PACK_WIDTH) f32
-    neighbors: jnp.ndarray      # (N, 4) i32, INVALID_INDEX = none
+    neighbors: jnp.ndarray      # (4, N) i32 slot-major, INVALID_INDEX = none
+                                #   (slot-major so per-slot index vectors are
+                                #   contiguous rows: 1-D gathers with no
+                                #   layout conversion)
     surfel_count: jnp.ndarray   # () i32
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
@@ -105,7 +108,7 @@ def create_surfel_state(capacity: int) -> SurfelState:
     pack[:, STAMP] = np.asarray(np.int32(-(2**30))).view(np.float32)
     return SurfelState(
         pack=jnp.asarray(pack),
-        neighbors=jnp.full((capacity, 4), INVALID_INDEX, jnp.int32),
+        neighbors=jnp.full((4, capacity), INVALID_INDEX, jnp.int32),
         surfel_count=jnp.zeros((), jnp.int32),
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
@@ -443,7 +446,9 @@ def _integrate_tiled(
     ids_c = jnp.clip(tile_ids, 0, t_n - 1)
     pack_w = pack.reshape(t_n, ts, PACK_WIDTH)[ids_c].reshape(
         k_cap * ts, PACK_WIDTH)
-    nbr_w = neighbors.reshape(t_n, ts, 4)[ids_c].reshape(k_cap * ts, 4)
+    nbr_w = jnp.stack([
+        neighbors[k].reshape(t_n, ts)[ids_c].reshape(k_cap * ts)
+        for k in range(4)])
     slot_live = tile_ids != INVALID_INDEX
     gidx = jnp.where(
         slot_live[:, None],
@@ -465,9 +470,11 @@ def _integrate_tiled(
     full_pack = pack.reshape(t_n, ts, PACK_WIDTH).at[tile_ids].set(
         out.pack.reshape(k_cap, ts, PACK_WIDTH), mode="drop",
         unique_indices=True).reshape(n, PACK_WIDTH)
-    full_nbr = neighbors.reshape(t_n, ts, 4).at[tile_ids].set(
-        out.neighbors.reshape(k_cap, ts, 4), mode="drop",
-        unique_indices=True).reshape(n, 4)
+    full_nbr = jnp.stack([
+        neighbors[k].reshape(t_n, ts).at[tile_ids].set(
+            out.neighbors[k].reshape(k_cap, ts), mode="drop",
+            unique_indices=True).reshape(n)
+        for k in range(4)])
     return SurfelState(
         pack=full_pack, neighbors=full_nbr, surfel_count=out.surfel_count,
         merge_count=out.merge_count, overflow_count=out.overflow_count,
@@ -501,7 +508,7 @@ def integrate_frame_bucketed(
                                global_T_local, local_T_global, frame_index,
                                params)
     sub = state._replace(pack=state.pack[:n_eff],
-                         neighbors=state.neighbors[:n_eff])
+                         neighbors=state.neighbors[:, :n_eff])
     sub = _integrate_body(sub, depth, normals_xy, radius_img, color,
                           global_T_local, local_T_global, frame_index,
                           params)
@@ -869,7 +876,7 @@ def _integrate_body(
         for k, val in reinit_cols.items():
             cols[k] = jnp.where(reinit, val, cols[k])
         cols[CONF] = jnp.where(dec, new_conf, cols[CONF])
-        neighbors = jnp.where(reinit[:, None], INVALID_INDEX, neighbors)
+        neighbors = jnp.where(reinit[None, :], INVALID_INDEX, neighbors)
 
         # Same-surface checks (kernels.cu:875-919) with (possibly reinit'd)
         # attributes.
@@ -1169,19 +1176,21 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         [gpack[:, PX:PZ + 1], gpack[:, NX:NZ + 1],
          gpack[:, DETACH:DETACH + 1]], axis=1)
 
-    # Existing slots: one narrow row gather (flat indices) for distances
-    # (+ detach).
-    slot_idx = neighbors                                  # (N, 4)
-    slot_rows = pn_pack[
-        jnp.clip(slot_idx, 0, n - 1).reshape(-1)].reshape(
-        slot_idx.shape[0], 4, 7)
+    # Existing slots: one 1-D per-slot gather each (slot-major rows need
+    # no index layout conversion).
+    slot_idx = neighbors                                  # (4, N)
     slot_valid = slot_idx != INVALID_INDEX
-    sdx = slot_rows[..., 0] - ox[:, None]
-    sdy = slot_rows[..., 1] - oy[:, None]
-    sdz = slot_rows[..., 2] - oz[:, None]
-    slot_dist = jnp.where(slot_valid, sdx * sdx + sdy * sdy + sdz * sdz,
-                          jnp.inf)
-    slot_det = slot_rows[..., 6]
+    dist_rows, det_rows = [], []
+    for k in range(4):
+        rows_k = pn_pack[jnp.clip(slot_idx[k], 0, n - 1)]
+        sdx = rows_k[:, 0] - ox
+        sdy = rows_k[:, 1] - oy
+        sdz = rows_k[:, 2] - oz
+        dist_rows.append(sdx * sdx + sdy * sdy + sdz * sdz)
+        det_rows.append(rows_k[:, 6])
+    slot_dist = jnp.where(slot_valid, jnp.stack(dist_rows), jnp.inf)
+    slot_det = jnp.stack(det_rows)                        # (4, N)
+    slot4 = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
 
     for direction in range(4):
         cand = _i32(sup_a[:, direction])
@@ -1195,18 +1204,18 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         c_ok = c_ok & (nx_ * cand_rows[:, 3] + ny_ * cand_rows[:, 4] +
                        nz_ * cand_rows[:, 5] > 0)
 
-        already = jnp.any(slot_idx == cand[:, None], axis=-1)
+        already = jnp.any(slot_idx == cand[None, :], axis=0)
         c_ok = c_ok & ~already
 
         # argmax + max instead of take_along_axis (which lowers to a slow
         # per-element gather on TPU); the selected slot's distance IS the max.
-        best = jnp.argmax(slot_dist, axis=-1)
-        best_dist = jnp.max(slot_dist, axis=-1)
+        best = jnp.argmax(slot_dist, axis=0)
+        best_dist = jnp.max(slot_dist, axis=0)
         c_ok = c_ok & (c_dist < best_dist)
-        onehot = jax.nn.one_hot(best, 4, dtype=bool) & c_ok[:, None]
-        slot_idx = jnp.where(onehot, cand[:, None], slot_idx)
-        slot_dist = jnp.where(onehot, c_dist[:, None], slot_dist)
-        slot_det = jnp.where(onehot, cand_rows[:, 6:7], slot_det)
+        onehot = (slot4 == best[None, :]) & c_ok[None, :]
+        slot_idx = jnp.where(onehot, cand[None, :], slot_idx)
+        slot_dist = jnp.where(onehot, c_dist[None, :], slot_dist)
+        slot_det = jnp.where(onehot, cand_rows[:, 6][None, :], slot_det)
 
     # Drop neighbors whose surfel has the detach flag set
     # (kernels.cu:1420-1437).
@@ -1328,7 +1337,7 @@ def _create_new_surfels(params, depth, supporting_surfels,
     new_rows_cols[RCNT] = jnp.zeros((c_budget,), jnp.float32)
     new_rows_cols[DETACH] = jnp.zeros((c_budget,), jnp.float32)
     rows_c = jnp.stack(new_rows_cols, axis=1)               # (C, PACK)
-    nbrs_c = jnp.stack(nbr_slots, axis=1)                   # (C, 4)
+    nbrs_c = jnp.stack(nbr_slots, axis=0)                   # (4, C)
 
     created = jnp.minimum(jnp.minimum(total, c_budget),
                           jnp.maximum(n - surfel_count, 0))
@@ -1337,8 +1346,8 @@ def _create_new_surfels(params, depth, supporting_surfels,
                        INVALID_INDEX)
     dest_w = dest_translate(dest_c)     # frontier tiles are always resident
     pack = pack.at[dest_w].set(rows_c, mode="drop", unique_indices=True)
-    neighbors = neighbors.at[dest_w].set(nbrs_c, mode="drop",
-                                         unique_indices=True)
+    neighbors = neighbors.at[:, dest_w].set(nbrs_c, mode="drop",
+                                            unique_indices=True)
 
     # Overflow counts only capacity-dropped creations; budget-deferred ones
     # retry next frame and are not overflow.
@@ -1376,21 +1385,26 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
 
     gsrc = sync_fn(pack)
     n = gsrc.shape[0]
-    nbr_flat = jnp.clip(neighbors, 0, n - 1).reshape(-1)
-    # Narrow concat source + flat indices (fast-gather rules, PERF.md):
-    # smooth position + stamp.
+    # Narrow concat source + per-slot 1-D gathers (fast-gather rules,
+    # PERF.md): smooth position + stamp.
     reg_src = jnp.concatenate(
         [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:STAMP + 1]], axis=1)
-    slot_rows = reg_src[nbr_flat].reshape(neighbors.shape[0], 4, 4)
-    slot_valid = neighbors != INVALID_INDEX                  # (N, 4)
-    slot_recent = _i32(slot_rows[..., 3]) >= frame_index - window
+    slot_valid = neighbors != INVALID_INDEX                  # (4, N)
+    dxs, dys, dzs, recents = [], [], [], []
+    for k in range(4):
+        rows_k = reg_src[jnp.clip(neighbors[k], 0, n - 1)]
+        dxs.append(rows_k[:, 0] - sx)
+        dys.append(rows_k[:, 1] - sy)
+        dzs.append(rows_k[:, 2] - sz)
+        recents.append(_i32(rows_k[:, 3]) >= frame_index - window)
+    dx = jnp.stack(dxs)                                      # (4, N)
+    dy = jnp.stack(dys)
+    dz = jnp.stack(dzs)
+    slot_recent = jnp.stack(recents)
     use = slot_valid & slot_recent
-    cnt = jnp.sum(use.astype(jnp.float32), axis=-1)
+    cnt = jnp.sum(use.astype(jnp.float32), axis=0)
 
-    dx = slot_rows[..., 0] - sx[:, None]
-    dy = slot_rows[..., 1] - sy[:, None]
-    dz = slot_rows[..., 2] - sz[:, None]
-    ndot = nx_[:, None] * dx + ny_[:, None] * dy + nz_[:, None] * dz
+    ndot = nx_[None, :] * dx + ny_[None, :] * dy + nz_[None, :] * dz
     nbr_dist_sq = dx * dx + dy * dy + dz * dz
 
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
@@ -1407,46 +1421,54 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
         gsrc = sync_fn(pack)
         side_src = jnp.concatenate(
             [gsrc[:, NX:NZ + 1], gsrc[:, RCNT:RCNT + 1]], axis=1)
-        side_rows = side_src[nbr_flat].reshape(neighbors.shape[0], 4, 4)
-        cnt_i = side_rows[..., 3]
+        snx, sny, snz, cnt_i = [], [], [], []
+        for k in range(4):
+            rows_k = side_src[jnp.clip(neighbors[k], 0, n - 1)]
+            snx.append(rows_k[:, 0])
+            sny.append(rows_k[:, 1])
+            snz.append(rows_k[:, 2])
+            cnt_i.append(rows_k[:, 3])
+        snx = jnp.stack(snx)                                  # (4, N)
+        sny = jnp.stack(sny)
+        snz = jnp.stack(snz)
+        cnt_i = jnp.stack(cnt_i)
         factor_i = jnp.where(cnt_i > 0,
                              2.0 * w_reg / jnp.maximum(cnt_i, 1.0), 0.0)
         wcnt_i = jnp.where(cnt_i > 0, w_reg / jnp.maximum(cnt_i, 1.0), 0.0)
-        edge_on = slot_valid & recent_self[:, None]
+        edge_on = slot_valid & recent_self[None, :]
         # p_j - p_i as seen from j = -(to_nbr computed from j) with i's data:
         # to_nbr (above) is p_i - p_j, so negate.
-        in_dot = -(side_rows[..., 0] * dx + side_rows[..., 1] * dy +
-                   side_rows[..., 2] * dz)                    # n_i.(p_j-p_i)
+        in_dot = -(snx * dx + sny * dy + snz * dz)            # n_i.(p_j-p_i)
         contrib = jnp.where(edge_on, factor_i * in_dot, 0.0)
-        grad_x = jnp.sum(contrib * side_rows[..., 0], axis=-1)
-        grad_y = jnp.sum(contrib * side_rows[..., 1], axis=-1)
-        grad_z = jnp.sum(contrib * side_rows[..., 2], axis=-1)
-        gcount = jnp.sum(jnp.where(edge_on, wcnt_i, 0.0), axis=-1)
+        grad_x = jnp.sum(contrib * snx, axis=0)
+        grad_y = jnp.sum(contrib * sny, axis=0)
+        grad_z = jnp.sum(contrib * snz, axis=0)
+        gcount = jnp.sum(jnp.where(edge_on, wcnt_i, 0.0), axis=0)
     else:
         scatter_idx = jnp.where(use, neighbors, INVALID_INDEX).reshape(-1)
-        term = factor[:, None] * ndot                        # (N, 4)
+        term = factor[None, :] * ndot                        # (4, N)
         # NOTE: scalar scatter-adds measure faster than a fused 4-wide row
         # scatter-add on this TPU generation; keep them separate.
         grad_x = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-            (term * nx_[:, None]).reshape(-1), mode="drop")
+            (term * nx_[None, :]).reshape(-1), mode="drop")
         grad_y = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-            (term * ny_[:, None]).reshape(-1), mode="drop")
+            (term * ny_[None, :]).reshape(-1), mode="drop")
         grad_z = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-            (term * nz_[:, None]).reshape(-1), mode="drop")
+            (term * nz_[None, :]).reshape(-1), mode="drop")
         gcount = jnp.zeros((n,), jnp.float32).at[scatter_idx].add(
-            jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[:, None],
+            jnp.broadcast_to((w_reg / jnp.maximum(cnt, 1.0))[None, :],
                              use.shape).reshape(-1), mode="drop")
 
     # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
-    drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][:, None])
+    drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][None, :])
     neighbors = jnp.where(drop, INVALID_INDEX, neighbors)
 
     # Per-surfel step (kernels.cu:2197-2308) over the updated neighbor list;
     # reuse the gathered rows (removal only invalidates, indices unchanged).
     valid2 = neighbors != INVALID_INDEX
     ndot2 = jnp.where(valid2, ndot, 0.0)
-    cnt2 = jnp.sum(valid2.astype(jnp.float32), axis=-1)
-    sum_ndot2 = jnp.sum(ndot2, axis=-1)
+    cnt2 = jnp.sum(valid2.astype(jnp.float32), axis=0)
+    sum_ndot2 = jnp.sum(ndot2, axis=0)
     factor2 = jnp.where(cnt2 > 0, 2.0 * w_reg / jnp.maximum(cnt2, 1.0), 0.0)
     reg_x = -sum_ndot2 * nx_
     reg_y = -sum_ndot2 * ny_

@@ -68,7 +68,7 @@ class TestCreation:
         depth, normals, radius, color = flat_wall_inputs()
         state = run_frame(state, depth, normals, radius, color, 0)
         count = int(state.surfel_count)
-        nbrs = np.asarray(state.neighbors[:count])
+        nbrs = np.asarray(state.neighbors[:, :count]).T
         # Interior-of-interior surfels have all 4 neighbors.
         n_full = (nbrs != int(INVALID_INDEX)).all(axis=1).sum()
         assert n_full >= (H - 4) * (W - 4)

@@ -75,7 +75,8 @@ def assert_pack_close(got, want, label):
 class TestGoldenFusion:
     def _compare_frame(self, state, inputs, frame, params):
         depth, normals, radius, color = inputs
-        oracle = Oracle(np.array(state.pack), np.array(state.neighbors),
+        oracle = Oracle(np.array(state.pack),
+                        np.array(state.neighbors).T,   # oracle is (N, 4)
                         int(state.surfel_count), int(state.merge_count))
         new_state, taps = run_tapped(state, depth, normals, radius, color,
                                      frame, params)
@@ -98,17 +99,17 @@ class TestGoldenFusion:
                           want["blended_depth"].astype(np.int64)).max() <= 1
         assert_pack_close(taps["pack_after_integrate"],
                           want["pack_after_integrate"], "after_integrate")
-        np.testing.assert_array_equal(taps["neighbors_after_update"],
+        np.testing.assert_array_equal(taps["neighbors_after_update"].T,
                                       want["neighbors_after_update"])
         assert int(taps["surfel_count_after_create"]) == \
             want["surfel_count_after_create"]
         assert_pack_close(taps["pack_after_create"],
                           want["pack_after_create"], "after_create")
-        np.testing.assert_array_equal(taps["neighbors_after_create"],
+        np.testing.assert_array_equal(taps["neighbors_after_create"].T,
                                       want["neighbors_after_create"])
         assert_pack_close(np.asarray(new_state.pack), want["final_pack"],
                           "final")
-        np.testing.assert_array_equal(np.asarray(new_state.neighbors),
+        np.testing.assert_array_equal(np.asarray(new_state.neighbors).T,
                                       want["final_neighbors"])
         assert int(new_state.merge_count) == oracle.merge_count
         return new_state

@@ -289,6 +289,19 @@ def _side_pixel(params: FusionParams, u, v, px, py):
     return sx, sy, valid
 
 
+def _gather_flat_lane8(src_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """src_flat[idx] as an 8-wide row gather + lane select: width-1 flat
+    gathers run ~2x slower than 8-wide row gathers on TPU (measured,
+    PERF.md)."""
+    if src_flat.shape[0] % 8:
+        return src_flat[idx]
+    rows = src_flat.reshape(-1, 8)[idx >> 3]
+    lane = (idx & 7)[:, None]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    zero = jnp.zeros((), src_flat.dtype)
+    return jnp.sum(jnp.where(lane == iota8, rows, zero), axis=1)
+
+
 def _shift_flat(img_flat: jnp.ndarray, hw: int, shift: int) -> jnp.ndarray:
     """img[i + shift] over a flattened image; out-of-range -> 0.
 
@@ -738,7 +751,7 @@ def _integrate_body(
                            support_depth_sums, has_conflict)
 
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
-    supported = supporting_surfels[pix_a_c]
+    supported = _gather_flat_lane8(supporting_surfels, pix_a_c)
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
     # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
     # (measured fast-gather requirements, PERF.md).  Gathers by global

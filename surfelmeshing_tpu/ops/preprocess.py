@@ -159,10 +159,19 @@ def outlier_depth_map_fusion(
         oz_list.append(oz)
 
     # u16 gathers run ~4x slower than f32 on TPU: convert first, then one
-    # fused gather for all K lookups.
+    # fused gather for all K lookups.  Width-1 flat gathers run ~2x slower
+    # than 8-wide row gathers (measured, PERF.md), so the source is viewed
+    # as (KHW/8, 8) rows: gather row idx>>3, select lane idx&7.
     others_flat_f32 = others_flat.astype(jnp.float32)
     all_flat = jnp.stack([f.reshape(-1) for f in flats]).reshape(-1)
-    sampled_all = others_flat_f32[all_flat].reshape(k, height, width)
+    if others_flat_f32.shape[0] % 8 == 0:
+        rows = others_flat_f32.reshape(-1, 8)[all_flat >> 3]
+        lane = (all_flat & 7)[:, None]
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        sampled_flat = jnp.sum(jnp.where(lane == iota8, rows, 0.0), axis=1)
+    else:
+        sampled_flat = others_flat_f32[all_flat]
+    sampled_all = sampled_flat.reshape(k, height, width)
 
     ok_count = jnp.zeros((height, width), jnp.int32)
     for k_static in range(k):

@@ -289,6 +289,14 @@ def _side_pixel(params: FusionParams, u, v, px, py):
     return sx, sy, valid
 
 
+def _safe_idx(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Clamp gather indices so INVALID/out-of-range rows read row 0 (near
+    the live region) instead of row n-1: clipping INVALID_INDEX to the far
+    end of a large array makes every gather stride between the live region
+    and the array tail (measured 6x slowdown at 20M rows; PERF.md)."""
+    return jnp.where((idx < 0) | (idx >= n), 0, idx)
+
+
 def _gather_flat_lane8(src_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """src_flat[idx] as an 8-wide row gather + lane select: width-1 flat
     gathers run ~2x slower than 8-wide row gathers on TPU (measured,
@@ -761,7 +769,7 @@ def _integrate_body(
     merge_src = jnp.concatenate(
         [pack0_src[:, PX:PZ + 1], pack0_src[:, NX:NZ + 1],
          pack0_src[:, RAD:RAD + 1]], axis=1)         # 7 cols
-    sup_rows = merge_src[jnp.clip(supported, 0, pack0_src.shape[0] - 1)]
+    sup_rows = merge_src[_safe_idx(supported, pack0_src.shape[0])]
     other_radius = sup_rows[:, 6]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)
@@ -1195,7 +1203,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
     slot_valid = slot_idx != INVALID_INDEX
     dist_rows, det_rows = [], []
     for k in range(4):
-        rows_k = pn_pack[jnp.clip(slot_idx[k], 0, n - 1)]
+        rows_k = pn_pack[_safe_idx(slot_idx[k], n)]
         sdx = rows_k[:, 0] - ox
         sdy = rows_k[:, 1] - oy
         sdz = rows_k[:, 2] - oz
@@ -1208,7 +1216,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
     for direction in range(4):
         cand = _i32(sup_a[:, direction])
         c_ok = on & (cand != INVALID_INDEX) & (cand != idx)
-        cand_rows = pn_pack[jnp.clip(cand, 0, n - 1)]     # one narrow gather
+        cand_rows = pn_pack[_safe_idx(cand, n)]          # one narrow gather
         cdx = cand_rows[:, 0] - ox
         cdy = cand_rows[:, 1] - oy
         cdz = cand_rows[:, 2] - oz
@@ -1304,7 +1312,7 @@ def _create_new_surfels(params, depth, supporting_surfels,
         # row (img_sup columns are the shifted supporting maps).
         sup = _i32(sup_c[:, k])
         has_sup = sup != INVALID_INDEX
-        sup_rows = ps_pack[jnp.clip(sup, 0, n - 1)]   # narrow C-row gather
+        sup_rows = ps_pack[_safe_idx(sup, n)]         # narrow C-row gather
         dx = sup_rows[:, 0] - pgx
         dy = sup_rows[:, 1] - pgy
         dz = sup_rows[:, 2] - pgz
@@ -1405,7 +1413,7 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
     slot_valid = neighbors != INVALID_INDEX                  # (4, N)
     dxs, dys, dzs, recents = [], [], [], []
     for k in range(4):
-        rows_k = reg_src[jnp.clip(neighbors[k], 0, n - 1)]
+        rows_k = reg_src[_safe_idx(neighbors[k], n)]
         dxs.append(rows_k[:, 0] - sx)
         dys.append(rows_k[:, 1] - sy)
         dzs.append(rows_k[:, 2] - sz)
@@ -1436,7 +1444,7 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
             [gsrc[:, NX:NZ + 1], gsrc[:, RCNT:RCNT + 1]], axis=1)
         snx, sny, snz, cnt_i = [], [], [], []
         for k in range(4):
-            rows_k = side_src[jnp.clip(neighbors[k], 0, n - 1)]
+            rows_k = side_src[_safe_idx(neighbors[k], n)]
             snx.append(rows_k[:, 0])
             sny.append(rows_k[:, 1])
             snz.append(rows_k[:, 2])

@@ -297,19 +297,6 @@ def _safe_idx(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.where((idx < 0) | (idx >= n), 0, idx)
 
 
-def _gather_flat_lane8(src_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """src_flat[idx] as an 8-wide row gather + lane select: width-1 flat
-    gathers run ~2x slower than 8-wide row gathers on TPU (measured,
-    PERF.md)."""
-    if src_flat.shape[0] % 8:
-        return src_flat[idx]
-    rows = src_flat.reshape(-1, 8)[idx >> 3]
-    lane = (idx & 7)[:, None]
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-    zero = jnp.zeros((), src_flat.dtype)
-    return jnp.sum(jnp.where(lane == iota8, rows, zero), axis=1)
-
-
 def _shift_flat(img_flat: jnp.ndarray, hw: int, shift: int) -> jnp.ndarray:
     """img[i + shift] over a flattened image; out-of-range -> 0.
 
@@ -758,8 +745,45 @@ def _integrate_body(
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, has_conflict)
 
+    # --- Phase 4 (hoisted): Measurement blending (kernels.cu:563-738) -----
+    # Blending has no data dependency on the merge pass (it reads only the
+    # phase-2 maps and the raw depth; merge mutates only the pack), so it
+    # runs first here: the post-blend per-pixel values then ride in ONE
+    # "post" image pack whose per-surfel gather also carries the
+    # supporting-surfel index the merge pass needs — one gather stream
+    # instead of five (geo/app at both pixels + a flat supported lookup).
+    # The reference order Merge->Blend produces identical results.
+    if params.do_blending:
+        depth = _blend_measurements(
+            params, depth, supporting_surfels.reshape(h, w),
+            support_counts.reshape(h, w), support_depth_sums.reshape(h, w))
+        depth_post_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
+    else:
+        depth_post_flat = depth_m_flat
+    _tap("blended_depth", depth)
+
+    sup_f = _f32bits(supporting_surfels)
+    if params.exact_conflict_arbitration:
+        conflict_col = _f32bits(conflicting_surfels)
+    else:
+        conflict_col = jnp.zeros((hw,), jnp.float32)
+    # RGB packed into one f32 lane (u8 values are integers < 2^24, exact).
+    cr = color[0].reshape(hw).astype(jnp.float32)
+    cg = color[1].reshape(hw).astype(jnp.float32)
+    cb = color[2].reshape(hw).astype(jnp.float32)
+    rgb_packed = cr + cg * 256.0 + cb * 65536.0
+    img_post = jnp.stack([
+        depth_post_flat,                            # 0 meas (post-blend)
+        support_counts.astype(jnp.float32),         # 1
+        sup_f,                                      # 2 supporting surfel
+        rgb_packed,                                 # 3
+        conflict_col,                               # 4 conflictor map (opt)
+    ], axis=1)
+    post_a = img_post[pix_a_c]
+    post_b = img_post[pix_b_c]
+
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
-    supported = _gather_flat_lane8(supporting_surfels, pix_a_c)
+    supported = _i32(post_a[:, 2])
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
     # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
     # (measured fast-gather requirements, PERF.md).  Gathers by global
@@ -797,44 +821,27 @@ def _integrate_body(
         return _dbg_return(pack, supporting_surfels, has_conflict,
                            first_depth, support_counts, support_depth_sums)
 
-    # --- Phase 4: Measurement blending (kernels.cu:563-738, .cc:148-205) --
-    if params.do_blending:
-        depth = _blend_measurements(
-            params, depth, supporting_surfels.reshape(h, w),
-            support_counts.reshape(h, w), support_depth_sums.reshape(h, w))
-        depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
-    _tap("blended_depth", depth)
-
     # Camera-space measurement data (post-blending), as one image pack.
     fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
+    Tg = global_T_local
     lin = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)[:, 0]
     xs_f = (lin % w).astype(jnp.float32)
     ys_f = (lin // w).astype(jnp.float32)
-    plx = depth_m_flat * (fx_inv * xs_f + cx_inv)
-    ply = depth_m_flat * (fy_inv * ys_f + cy_inv)
-    plz = depth_m_flat
-    Tg = global_T_local
+    plx = depth_post_flat * (fx_inv * xs_f + cx_inv)
+    ply = depth_post_flat * (fy_inv * ys_f + cy_inv)
+    plz = depth_post_flat
     pgx = Tg[0, 0] * plx + Tg[0, 1] * ply + Tg[0, 2] * plz + Tg[0, 3]
     pgy = Tg[1, 0] * plx + Tg[1, 1] * ply + Tg[1, 2] * plz + Tg[1, 3]
     pgz = Tg[2, 0] * plx + Tg[2, 1] * ply + Tg[2, 2] * plz + Tg[2, 3]
     ngx = Tg[0, 0] * mnx + Tg[0, 1] * mny + Tg[0, 2] * mnz
     ngy = Tg[1, 0] * mnx + Tg[1, 1] * mny + Tg[1, 2] * mnz
     ngz = Tg[2, 0] * mnx + Tg[2, 1] * mny + Tg[2, 2] * mnz
-    cr = color[0].reshape(hw).astype(jnp.float32)
-    cg = color[1].reshape(hw).astype(jnp.float32)
-    cb = color[2].reshape(hw).astype(jnp.float32)
 
-    # Post-blend image packs.  Split into <=8-column sources: TPU row
-    # gathers from sources up to 8 f32 columns (one sublane group) run ~5x
-    # faster than wider ones (measured; see PERF.md), so three narrow
-    # gathers beat one 20-wide gather.
-    sup_f = _f32bits(supporting_surfels)
-    if params.exact_conflict_arbitration:
-        conflict_col = _f32bits(conflicting_surfels)
-    else:
-        conflict_col = jnp.zeros((hw,), jnp.float32)
+    # Per-pixel image packs for the C-domain creation gathers (phase 7)
+    # and the stop-after-4 debug taps; the per-surfel phase-5 streams
+    # derive geometry elementwise instead of gathering these.
     img_geo = jnp.stack([
-        depth_m_flat,                               # 0 meas (post-blend)
+        depth_post_flat,                            # 0 meas (post-blend)
         pgx, pgy, pgz,                              # 1-3 global point
         ngx, ngy, ngz,                              # 4-6 global normal
         support_counts.astype(jnp.float32),         # 7
@@ -857,24 +864,48 @@ def _integrate_body(
         return _dbg_return(img_geo, img_app, img_sup)
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
-    geo_a = img_geo[pix_a_c]
-    app_a = img_app[pix_a_c]
-    geo_b = img_geo[pix_b_c]
-    app_b = img_app[pix_b_c]
+    # Measurement geometry (unprojected global point, rotated normal, color)
+    # is recomputed per surfel from the thin post_a/post_b rows + the
+    # already-gathered pre rows: elementwise VPU work is ~free next to the
+    # gather streams it replaces (4 wide row gathers -> 0).
     sup_a = img_sup[pix_a_c]
 
     neighbors = state.neighbors
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
-    def integrate_at(pack, neighbors, geo, app, first, on):
-        meas = geo[:, 0]
+    def integrate_at(pack, neighbors, post, pre, first, pxf, pyf, on):
+        meas = post[:, 0]
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z)
         if params.exact_conflict_arbitration:
-            conflicting = conflicting & (_i32(app[:, 7]) == idx)
+            conflicting = conflicting & (_i32(post[:, 4]) == idx)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
+
+        # Unproject the measurement at this surfel's pixel and rotate the
+        # measurement normal to global space (formerly img_geo cols 1-6).
+        m_plx = meas * (fx_inv * pxf + cx_inv)
+        m_ply = meas * (fy_inv * pyf + cy_inv)
+        g_px = Tg[0, 0] * m_plx + Tg[0, 1] * m_ply + Tg[0, 2] * meas + \
+            Tg[0, 3]
+        g_py = Tg[1, 0] * m_plx + Tg[1, 1] * m_ply + Tg[1, 2] * meas + \
+            Tg[1, 3]
+        g_pz = Tg[2, 0] * m_plx + Tg[2, 1] * m_ply + Tg[2, 2] * meas + \
+            Tg[2, 3]
+        p_mnx, p_mny, p_mnz = pre[:, 2], pre[:, 3], pre[:, 4]
+        g_nx = Tg[0, 0] * p_mnx + Tg[0, 1] * p_mny + Tg[0, 2] * p_mnz
+        g_ny = Tg[1, 0] * p_mnx + Tg[1, 1] * p_mny + Tg[1, 2] * p_mnz
+        g_nz = Tg[2, 0] * p_mnx + Tg[2, 1] * p_mny + Tg[2, 2] * p_mnz
+        m_cb = jnp.floor(post[:, 3] * (1.0 / 65536.0))
+        rem = post[:, 3] - m_cb * 65536.0
+        m_cg = jnp.floor(rem * (1.0 / 256.0))
+        m_cr = rem - m_cg * 256.0
+        geo = {"px": g_px, "py": g_py, "pz": g_pz,
+               "nx": g_nx, "ny": g_ny, "nz": g_nz,
+               "counts": post[:, 1]}
+        app = {"cr": m_cr, "cg": m_cg, "cb": m_cb, "radius": pre[:, 5],
+               "mnx": p_mnx, "mny": p_mny, "mnz": p_mnz}
 
         # Conflict handling (kernels.cu:816-868): confidence - 1; at zero the
         # surfel is re-initialized from the measurement and flags detach.
@@ -884,11 +915,11 @@ def _integrate_body(
         dec = conflicting & ~reinit
 
         reinit_cols = {
-            PX: geo[:, 1], PY: geo[:, 2], PZ: geo[:, 3],
-            SX: geo[:, 1], SY: geo[:, 2], SZ: geo[:, 3],
-            NX: geo[:, 4], NY: geo[:, 5], NZ: geo[:, 6],
-            CR: app[:, 0], CG: app[:, 1], CB: app[:, 2],
-            RAD: app[:, 3], CONF: jnp.ones_like(conf0),
+            PX: geo["px"], PY: geo["py"], PZ: geo["pz"],
+            SX: geo["px"], SY: geo["py"], SZ: geo["pz"],
+            NX: geo["nx"], NY: geo["ny"], NZ: geo["nz"],
+            CR: app["cr"], CG: app["cg"], CB: app["cb"],
+            RAD: app["radius"], CONF: jnp.ones_like(conf0),
             DETACH: jnp.ones_like(conf0),
             CREATION: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
             STAMP: _f32bits(jnp.broadcast_to(frame_index, conf0.shape)),
@@ -909,35 +940,35 @@ def _integrate_body(
             jnp.maximum(surfel_dist, 1e-30)
         on = on & (dot_view <= SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
         compat_needed = meas < z
-        compat = (lsnx * app[:, 4] + lsny * app[:, 5] +
-                  lsnz * app[:, 6]) >= cos_compat
+        compat = (lsnx * app["mnx"] + lsny * app["mny"] +
+                  lsnz * app["mnz"]) >= cos_compat
         on = on & (~compat_needed | compat)
         on = on & (cols[RAD] >= 0)
         # Surfels replaced this frame are not updated (kernels.cu:937-940).
         on = on & (_i32(cols[CREATION]) < frame_index)
 
-        weight = 1.0 / jnp.maximum(1.0, geo[:, 7])
+        weight = 1.0 / jnp.maximum(1.0, geo["counts"])
         conf = cols[CONF]
         norm_factor = 1.0 / (conf + weight)
 
         cols[CONF] = jnp.where(
             on, jnp.minimum(conf + weight, params.max_surfel_confidence),
             cols[CONF])
-        for k, g in ((PX, geo[:, 1]), (PY, geo[:, 2]), (PZ, geo[:, 3])):
+        for k, g in ((PX, geo["px"]), (PY, geo["py"]), (PZ, geo["pz"])):
             cols[k] = jnp.where(on, (conf * cols[k] + weight * g) *
                                 norm_factor, cols[k])
-        bnx = conf * cols[NX] + weight * geo[:, 4]
-        bny = conf * cols[NY] + weight * geo[:, 5]
-        bnz = conf * cols[NZ] + weight * geo[:, 6]
+        bnx = conf * cols[NX] + weight * geo["nx"]
+        bny = conf * cols[NY] + weight * geo["ny"]
+        bnz = conf * cols[NZ] + weight * geo["nz"]
         bl = jnp.maximum(jnp.sqrt(bnx * bnx + bny * bny + bnz * bnz), 1e-30)
         cols[NX] = jnp.where(on, bnx / bl, cols[NX])
         cols[NY] = jnp.where(on, bny / bl, cols[NY])
         cols[NZ] = jnp.where(on, bnz / bl, cols[NZ])
-        cols[RAD] = jnp.where(on, jnp.minimum(cols[RAD], app[:, 3]),
+        cols[RAD] = jnp.where(on, jnp.minimum(cols[RAD], app["radius"]),
                               cols[RAD])
         # u8 color blend with +0.5 truncation (kernels.cu:962-967); the
         # update also clears the detach flag.
-        for k, g in ((CR, app[:, 0]), (CG, app[:, 1]), (CB, app[:, 2])):
+        for k, g in ((CR, app["cr"]), (CG, app["cg"]), (CB, app["cb"])):
             cols[k] = jnp.where(
                 on, jnp.floor((conf * cols[k] + weight * g) * norm_factor
                               + 0.5), cols[k])
@@ -949,10 +980,13 @@ def _integrate_body(
 
     first_a = rows_pre_a[:, 1]
     first_b = rows_pre_b[:, 1]
-    pack, neighbors = integrate_at(pack, neighbors, geo_a, app_a, first_a,
-                                   base_on)
-    pack, neighbors = integrate_at(pack, neighbors, geo_b, app_b, first_b,
-                                   base_on & side_ok)
+    pack, neighbors = integrate_at(
+        pack, neighbors, post_a, rows_pre_a, first_a,
+        px.astype(jnp.float32), py.astype(jnp.float32), base_on)
+    pack, neighbors = integrate_at(
+        pack, neighbors, post_b, rows_pre_b, first_b,
+        sx.astype(jnp.float32), sy.astype(jnp.float32),
+        base_on & side_ok)
     _tap("pack_after_integrate", pack)
     _tap("neighbors_after_integrate", neighbors)
     if params.debug_stop_after <= 5:
@@ -962,7 +996,7 @@ def _integrate_body(
     gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
     neighbors = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors,
-        geo_a, app_a, sup_a, Tl, gpack)
+        post_a[:, 0], rows_pre_a[:, 5], sup_a, Tl, gpack)
     _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)
@@ -974,7 +1008,7 @@ def _integrate_body(
         conflict_free = ~has_conflict
     (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
         params, depth, supporting_surfels, conflict_free,
-        img_geo, img_app, img_sup, depth_m_flat, pack, neighbors,
+        img_geo, img_app, img_sup, depth_post_flat, pack, neighbors,
         state.surfel_count, state.overflow_count, frame_index,
         gpack, dest_translate)
     _tap("pack_after_create", pack)
@@ -1151,7 +1185,7 @@ def _blend_measurements(params, depth, supporting_surfels, counts, sums):
 
 
 def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
-                      neighbors, geo_a, app_a, sup_a, Tl, gpack):
+                      neighbors, meas_a, radius_a, sup_a, Tl, gpack):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
     of the 4 adjacent pixels (kernels.cu:1197-1455).
 
@@ -1170,7 +1204,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
 
     border_ok = (px >= 1) & (py >= 1) & (px < w - 1) & (py < h - 1) & (z > 0)
     on = active & border_ok
-    meas = geo_a[:, 0]
+    meas = meas_a
     on = on & ~(z > (1.0 + noise) * meas)     # zero meas occludes everything
     nx_, ny_, nz_ = pack[:, NX], pack[:, NY], pack[:, NZ]
     lsnx = Tl[0, 0] * nx_ + Tl[0, 1] * ny_ + Tl[0, 2] * nz_
@@ -1182,7 +1216,7 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
                SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD)
     on = on & (radius_col >= 0)
     if CHECK_SCALE_COMPAT_NEIGHBORS:
-        on = on & (app_a[:, 3] /
+        on = on & (radius_a /
                    jnp.where(radius_col != 0, radius_col, 1e-30)
                    <= MAX_OBSERVATION_RADIUS_FACTOR ** 2)
 
@@ -1406,18 +1440,35 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
 
     gsrc = sync_fn(pack)
     n = gsrc.shape[0]
+    symmetric = params.symmetric_regularization
     # Narrow concat source + per-slot 1-D gathers (fast-gather rules,
-    # PERF.md): smooth position + stamp.
-    reg_src = jnp.concatenate(
-        [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:STAMP + 1]], axis=1)
+    # PERF.md).  In symmetric mode ONE 8-column gather serves both the
+    # distance terms and the cross terms: smooth pos + stamp + normal +
+    # RCNT.  RCNT is the count stored by the *previous* iteration (or
+    # frame) — a Jacobi-style lag that halves the slot gathers; new
+    # surfels carry RCNT=0, so their in-edges contribute nothing until
+    # their first regularization pass.  Quality impact is bounded by the
+    # deviation A/B test (tests/test_fusion.py).
+    if symmetric:
+        reg_src = jnp.concatenate(
+            [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:RCNT + 1]], axis=1)
+    else:
+        reg_src = jnp.concatenate(
+            [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:STAMP + 1]], axis=1)
     slot_valid = neighbors != INVALID_INDEX                  # (4, N)
     dxs, dys, dzs, recents = [], [], [], []
+    snx, sny, snz, cnt_i = [], [], [], []
     for k in range(4):
         rows_k = reg_src[_safe_idx(neighbors[k], n)]
         dxs.append(rows_k[:, 0] - sx)
         dys.append(rows_k[:, 1] - sy)
         dzs.append(rows_k[:, 2] - sz)
         recents.append(_i32(rows_k[:, 3]) >= frame_index - window)
+        if symmetric:
+            snx.append(rows_k[:, 4])
+            sny.append(rows_k[:, 5])
+            snz.append(rows_k[:, 6])
+            cnt_i.append(rows_k[:, 7])
     dx = jnp.stack(dxs)                                      # (4, N)
     dy = jnp.stack(dys)
     dz = jnp.stack(dzs)
@@ -1429,26 +1480,15 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
     nbr_dist_sq = dx * dx + dy * dy + dz * dz
 
     factor = 2.0 * w_reg / jnp.maximum(cnt, 1.0)
-    if params.symmetric_regularization:
-        # Gather the in-edge cross terms from each surfel's own slots,
-        # assuming mutual adjacency (see FusionParams docstring).  The term
-        # i contributes to j is factor_i * (n_i . (p_j - p_i)) * n_i; here j
-        # gathers (n_i, cnt_i) from its slots — one contiguous NX..RCNT
-        # slice, RCNT freshly stored above — and evaluates it with its own
-        # recency gating the edge (matching the direction the reference
-        # gates on, kernels.cu:2154-2161).
+    if symmetric:
+        # Cross terms gathered from each surfel's own slots, assuming
+        # mutual adjacency (see FusionParams docstring).  The term i
+        # contributes to j is factor_i * (n_i . (p_j - p_i)) * n_i; j
+        # evaluates it from the gathered (n_i, cnt_i) with its own recency
+        # gating the edge (matching the direction the reference gates on,
+        # kernels.cu:2154-2161).
         recent_self = stamps >= frame_index - window
-        pack = pack.at[:, RCNT].set(cnt)
-        gsrc = sync_fn(pack)
-        side_src = jnp.concatenate(
-            [gsrc[:, NX:NZ + 1], gsrc[:, RCNT:RCNT + 1]], axis=1)
-        snx, sny, snz, cnt_i = [], [], [], []
-        for k in range(4):
-            rows_k = side_src[_safe_idx(neighbors[k], n)]
-            snx.append(rows_k[:, 0])
-            sny.append(rows_k[:, 1])
-            snz.append(rows_k[:, 2])
-            cnt_i.append(rows_k[:, 3])
+        pack = pack.at[:, RCNT].set(cnt)   # for the NEXT iteration/frame
         snx = jnp.stack(snx)                                  # (4, N)
         sny = jnp.stack(sny)
         snz = jnp.stack(snz)

@@ -421,8 +421,11 @@ class Oracle:
         dist_sq = (d * d).sum(-1, dtype=F32)
 
         recent_self = stamps >= frame - window
+        # Stored-count semantics (fusion.py _regularize): the cross-term
+        # weight reads the RCNT column written by the PREVIOUS iteration /
+        # frame (Jacobi lag), then this iteration's count is stored.
+        cnt_i = P[nc, F.RCNT].copy()
         P[:, F.RCNT] = cnt
-        cnt_i = P[nc, F.RCNT]
         factor_i = np.where(cnt_i > 0,
                             F32(2.0) * w_reg / np.maximum(cnt_i, F32(1.0)),
                             F32(0.0))

@@ -227,8 +227,9 @@ class FusionParams:
     #   True:  build the min-index conflictor map like the reference's
     #          last-writer map, guaranteeing a single decrementer per pixel.
     exact_conflict_arbitration: bool = False
-    # Profiling aid: stop the compiled program after phase k (1=min-depth,
-    # 2=associate, 3=merge, 4=blend, 5=integrate, 6=neighbors, 7=create).
+    # Profiling aid: stop the compiled program after phase k in PROGRAM
+    # order (1=min-depth, 2=associate, 3=blend [hoisted before merge],
+    # 4=merge, 5=integrate, 6=neighbors, 7=create).
     debug_stop_after: int = 99
 
     @property
@@ -529,6 +530,21 @@ def integrate_frame_bucketed(
         overflow_count=sub.overflow_count)
 
 
+class _Sharding(NamedTuple):
+    """Surfel-axis SPMD context: the pack rows are sharded over a mesh axis
+    (the tensor-parallel analog for this workload, used via
+    parallel.shard.make_sharded_step under jax.shard_map).
+
+    Per-shard scatters build local image maps that are combined with
+    pmin/psum over ICI (three ~1.2 MB maps per frame); gathers by global
+    surfel index read an all-gathered pack.  Bit-exact vs the single-device
+    path: min/add scatters are order-independent, so local-then-combine
+    equals the global scatter.
+    """
+    axis: str            # mesh axis name
+    offset: jnp.ndarray  # global surfel index of this shard's row 0
+
+
 class _Tiling(NamedTuple):
     """Working-set context for the tiled (active-set) fusion path.
 
@@ -557,6 +573,7 @@ def _integrate_body(
     frame_index: jnp.ndarray,
     params: FusionParams,
     tiling: _Tiling | None = None,
+    shard: _Sharding | None = None,
 ) -> SurfelState:
     n = state.pack.shape[0]
     h, w = params.height, params.width
@@ -568,7 +585,30 @@ def _integrate_body(
     frame_index = jnp.asarray(frame_index, jnp.int32)
     pack = state.pack
 
-    if tiling is None:
+    def combine_min(img):
+        """Combine per-shard scatter maps (identity off the sharded path)."""
+        return img if shard is None else jax.lax.pmin(img, shard.axis)
+
+    def combine_add(img):
+        return img if shard is None else jax.lax.psum(img, shard.axis)
+
+    if shard is not None:
+        assert tiling is None
+        idx = shard.offset + \
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+        def sync(pack_w):
+            """Global-index gathers read the all-gathered pack (rows are
+            ordered by shard, so global row i is row i of the gather)."""
+            return jax.lax.all_gather(pack_w, shard.axis, axis=0, tiled=True)
+
+        def dest_translate(dest):
+            """Global row index -> this shard's local row (creations are
+            written only by the shard that owns their slot range)."""
+            local = dest - shard.offset
+            return jnp.where((dest == INVALID_INDEX) | (local < 0) |
+                             (local >= n), INVALID_INDEX, local)
+    elif tiling is None:
         idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
         def sync(pack_w):
@@ -635,9 +675,9 @@ def _integrate_body(
     # --- Phase 1: RenderMinDepth (kernels.cu:1458-1557) -------------------
     # One concatenated scatter stream for both candidate pixels.
     first_depth = jnp.full((hw,), jnp.inf, jnp.float32)
-    first_depth = first_depth.at[
+    first_depth = combine_min(first_depth.at[
         jnp.concatenate([pix_a, pix_b])].min(
-        jnp.concatenate([z, z]), mode="drop")
+        jnp.concatenate([z, z]), mode="drop"))
     _tap("first_depth", first_depth)
     if params.debug_stop_after <= 1:
         return _dbg_return(first_depth)
@@ -705,18 +745,19 @@ def _integrate_body(
     has_conflict = first_depth < (1.0 - noise) * depth_m_flat
     if params.exact_conflict_arbitration:
         conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-        conflicting_surfels = conflicting_surfels.at[jnp.concatenate([
-            jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
-            jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
-            jnp.concatenate([idx, idx]), mode="drop")
+        conflicting_surfels = combine_min(conflicting_surfels.at[
+            jnp.concatenate([
+                jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
+                jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
+            jnp.concatenate([idx, idx]), mode="drop"))
     else:
         conflicting_surfels = None
 
     supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-    supporting_surfels = supporting_surfels.at[jnp.concatenate([
+    supporting_surfels = combine_min(supporting_surfels.at[jnp.concatenate([
         jnp.where(support_a, pix_a, INVALID_INDEX),
         jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
-        jnp.concatenate([idx, idx]), mode="drop")
+        jnp.concatenate([idx, idx]), mode="drop"))
 
     # Support count + depth sum in ONE i32 add-scatter: the depth rides in
     # the low 25 bits as fixed point at depth-unit resolution (supporter
@@ -732,8 +773,8 @@ def _integrate_body(
                               jnp.where(support_b, pix_b, INVALID_INDEX)])
     z_units = jnp.clip(jnp.round(z * params.depth_scaling), 0,
                        (1 << 17) - 1).astype(jnp.int32)
-    packed = jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
-        jnp.concatenate([z_units, z_units]) + (1 << SUM_BITS), mode="drop")
+    packed = combine_add(jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
+        jnp.concatenate([z_units, z_units]) + (1 << SUM_BITS), mode="drop"))
     support_counts = packed >> SUM_BITS
     support_depth_sums = (packed & ((1 << SUM_BITS) - 1)).astype(
         jnp.float32) * inv_scale
@@ -763,24 +804,35 @@ def _integrate_body(
     _tap("blended_depth", depth)
 
     sup_f = _f32bits(supporting_surfels)
-    if params.exact_conflict_arbitration:
-        conflict_col = _f32bits(conflicting_surfels)
-    else:
-        conflict_col = jnp.zeros((hw,), jnp.float32)
+    # Supporting-surfel index at the 4 adjacent pixels (regular shifts, not
+    # gathers) for phases 6-7.
+    sup_shift = [_shift_flat(sup_f, hw, s) for s in (-1, +1, -w, +w)]
     # RGB packed into one f32 lane (u8 values are integers < 2^24, exact).
     cr = color[0].reshape(hw).astype(jnp.float32)
     cg = color[1].reshape(hw).astype(jnp.float32)
     cb = color[2].reshape(hw).astype(jnp.float32)
     rgb_packed = cr + cg * 256.0 + cb * 65536.0
-    img_post = jnp.stack([
+    post_cols = [
         depth_post_flat,                            # 0 meas (post-blend)
         support_counts.astype(jnp.float32),         # 1
         sup_f,                                      # 2 supporting surfel
         rgb_packed,                                 # 3
-        conflict_col,                               # 4 conflictor map (opt)
-    ], axis=1)
+    ]
+    if params.exact_conflict_arbitration:
+        # 4: conflictor map; the adjacent-supporter columns don't fit under
+        # the 8-column fast-gather cliff, so they ride a separate stream.
+        conflict_col = _f32bits(conflicting_surfels)
+        post_cols.append(conflict_col)
+    else:
+        conflict_col = jnp.zeros((hw,), jnp.float32)   # img_app tap column
+        # 4-7: adjacent supporting surfels — exactly 8 columns, so the
+        # neighbor-update candidate lookups share this one gather stream.
+        post_cols.extend(sup_shift)
+    img_post = jnp.stack(post_cols, axis=1)
     post_a = img_post[pix_a_c]
     post_b = img_post[pix_b_c]
+    if params.debug_stop_after <= 3:        # 3 == blending (hoisted)
+        return _dbg_return(post_a, post_b)
 
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     supported = _i32(post_a[:, 2])
@@ -789,7 +841,12 @@ def _integrate_body(
     # (measured fast-gather requirements, PERF.md).  Gathers by global
     # surfel index read the full pack (still pristine here — the merge
     # tombstone below is the frame's first pack mutation).
-    pack0_src = pack if tiling is None else tiling.full_pack
+    if tiling is not None:
+        pack0_src = tiling.full_pack
+    elif shard is not None:
+        pack0_src = sync(pack)      # pack is still pristine here
+    else:
+        pack0_src = pack
     merge_src = jnp.concatenate(
         [pack0_src[:, PX:PZ + 1], pack0_src[:, NX:NZ + 1],
          pack0_src[:, RAD:RAD + 1]], axis=1)         # 7 cols
@@ -814,10 +871,13 @@ def _integrate_body(
     pack = pack.at[:, RAD].set(jnp.where(m_on, -1.0, pack[:, RAD]))
     pack = pack.at[:, DETACH].set(
         jnp.maximum(pack[:, DETACH], m_on.astype(jnp.float32)))
-    merge_count = state.merge_count + jnp.sum(m_on.astype(jnp.int32))
+    m_total = jnp.sum(m_on.astype(jnp.int32))
+    if shard is not None:
+        m_total = jax.lax.psum(m_total, shard.axis)
+    merge_count = state.merge_count + m_total
     _tap("merge_mask", m_on)
     _tap("pack_after_merge", pack)
-    if params.debug_stop_after <= 3:
+    if params.debug_stop_after <= 4:        # 4 == merge (after blending)
         return _dbg_return(pack, supporting_surfels, has_conflict,
                            first_depth, support_counts, support_depth_sums)
 
@@ -852,23 +912,17 @@ def _integrate_body(
         mnx, mny, mnz,                              # 4-6 meas normal (cam)
         conflict_col,                               # 7 conflictor map (opt)
     ], axis=1)
-    # Supporting-surfel index at the 4 adjacent pixels (regular shifts, not
-    # gathers) for phases 6-7.
-    img_sup = jnp.stack([
-        _shift_flat(sup_f, hw, -1),                 # 0 supporting at x-1
-        _shift_flat(sup_f, hw, +1),                 # 1 supporting at x+1
-        _shift_flat(sup_f, hw, -w),                 # 2 supporting at y-1
-        _shift_flat(sup_f, hw, +w),                 # 3 supporting at y+1
-    ], axis=1)
-    if params.debug_stop_after <= 4:
-        return _dbg_return(img_geo, img_app, img_sup)
+    img_sup = jnp.stack(sup_shift, axis=1)    # creation's C-domain lookups
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
     # Measurement geometry (unprojected global point, rotated normal, color)
     # is recomputed per surfel from the thin post_a/post_b rows + the
     # already-gathered pre rows: elementwise VPU work is ~free next to the
     # gather streams it replaces (4 wide row gathers -> 0).
-    sup_a = img_sup[pix_a_c]
+    if params.exact_conflict_arbitration:
+        sup_a = img_sup[pix_a_c]
+    else:
+        sup_a = post_a[:, 4:8]
 
     neighbors = state.neighbors
     base_on = active & in_image & (pack[:, RAD] >= 0)

@@ -222,10 +222,13 @@ class ReconstructionPipeline:
     # Reference --log_timings column -> cumulative fusion prefix
     # (debug_stop_after) ending that stage.  data_association covers the
     # min-depth raster + association like the reference's pair of phases.
+    # Blending is hoisted before merge in the compiled program (no data
+    # dependency; see fusion.py), so its prefix boundary (3) precedes the
+    # merge boundary (4) even though the log column order is unchanged.
     _STAGE_BOUNDARIES = (
         ("data_association", 2),
-        ("surfel_merging", 3),
-        ("measurement_blending", 4),
+        ("measurement_blending", 3),
+        ("surfel_merging", 4),
         ("integration", 5),
         ("neighbor_update", 6),
         ("new_surfel_creation", 7),

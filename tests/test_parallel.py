@@ -115,3 +115,49 @@ def test_batched_preprocess_matches_single():
         np.testing.assert_array_equal(np.asarray(d_b[i]), np.asarray(d1))
         np.testing.assert_array_equal(np.asarray(n_b[i]), np.asarray(n1))
         np.testing.assert_array_equal(np.asarray(r_b[i]), np.asarray(r1))
+
+
+def test_sharded_single_map_matches_unsharded():
+    """Surfel-axis sharding (parallel.shard) must be BIT-exact vs the
+    single-device integrate_frame: local min/add scatters + pmin/psum
+    combines are order-independent, and every other phase only changes
+    where a row is computed, not its value."""
+    from surfelmeshing_tpu.ops.fusion import (create_surfel_state,
+                                              integrate_frame)
+    from surfelmeshing_tpu.parallel.shard import (create_sharded_state,
+                                                  make_sharded_step)
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    mesh = Mesh(np.array(devices[:8]), ("surf",))
+    params = FusionParams(width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+                          depth_scaling=SCALE, do_blending=True,
+                          regularization_iterations=1)
+    cap = 4096   # 512 rows per shard; frame-0 creation spans shards
+
+    rng = np.random.default_rng(3)
+    step = make_sharded_step(params, mesh)
+    st_sharded = create_sharded_state(cap, mesh)
+    st_ref = create_surfel_state(cap)
+
+    ident = jnp.asarray(np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
+                                 np.float32))
+    for frame in range(3):
+        depth = (10000 + 200 * frame +
+                 rng.integers(-300, 300, (H, W))).astype(np.uint16)
+        normals = np.zeros((2, H, W), np.float32)
+        radius = np.full((H, W), 0.01, np.float32)
+        color = rng.integers(0, 255, (3, H, W)).astype(np.uint8)
+        args = (jnp.asarray(depth), jnp.asarray(normals),
+                jnp.asarray(radius), jnp.asarray(color), ident, ident,
+                jnp.int32(frame))
+        st_sharded = step(st_sharded, *args)
+        st_ref = integrate_frame(st_ref, *args, params)
+
+        assert int(st_sharded.surfel_count) == int(st_ref.surfel_count)
+        assert int(st_sharded.merge_count) == int(st_ref.merge_count)
+        np.testing.assert_array_equal(np.asarray(st_sharded.pack),
+                                      np.asarray(st_ref.pack))
+        np.testing.assert_array_equal(np.asarray(st_sharded.neighbors),
+                                      np.asarray(st_ref.neighbors))
+    assert int(st_ref.surfel_count) > 0

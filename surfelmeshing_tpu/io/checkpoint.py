@@ -13,7 +13,7 @@ import numpy as np
 
 from ..ops.fusion import SurfelState
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4    # v4 adds the nbr_dist stored-slot-distance array
 
 
 def save_checkpoint(path: str, state: SurfelState, frame_index: int) -> None:
@@ -36,6 +36,9 @@ def load_checkpoint(path: str):
     for name in SurfelState._fields:
         if name in data:
             fields[name] = jnp.asarray(data[name])
-        else:  # field added after the checkpoint was written
+        elif name == "nbr_dist":   # field added after the checkpoint
+            fields[name] = jnp.full(data["neighbors"].shape, jnp.inf,
+                                    jnp.float32)
+        else:
             fields[name] = jnp.zeros((), jnp.int32)
     return SurfelState(**fields), int(data["frame_index"])

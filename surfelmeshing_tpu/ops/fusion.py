@@ -97,6 +97,10 @@ class SurfelState(NamedTuple):
                                 #   (slot-major so per-slot index vectors are
                                 #   contiguous rows: 1-D gathers with no
                                 #   layout conversion)
+    nbr_dist: jnp.ndarray       # (4, N) f32 stored squared slot distances
+                                #   (+inf for empty slots); maintained by the
+                                #   fast_neighbor_update path, see
+                                #   FusionParams.fast_neighbor_update
     surfel_count: jnp.ndarray   # () i32
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
@@ -109,6 +113,7 @@ def create_surfel_state(capacity: int) -> SurfelState:
     return SurfelState(
         pack=jnp.asarray(pack),
         neighbors=jnp.full((4, capacity), INVALID_INDEX, jnp.int32),
+        nbr_dist=jnp.full((4, capacity), jnp.inf, jnp.float32),
         surfel_count=jnp.zeros((), jnp.int32),
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
@@ -227,6 +232,22 @@ class FusionParams:
     #   True:  build the min-index conflictor map like the reference's
     #          last-writer map, guaranteeing a single decrementer per pixel.
     exact_conflict_arbitration: bool = False
+    # Neighbor update (phase 6) slot handling:
+    #   True  (TPU-native default): existing-slot distances come from the
+    #          stored state.nbr_dist column (written at creation, candidate
+    #          replacement, and refreshed from *smoothed* positions every
+    #          regularization pass) instead of re-gathering the 4 neighbor
+    #          positions per frame — dropping 4 of the 8 neighbor-update
+    #          gather streams.  Detached neighbors are dropped one phase
+    #          later by the regularization pass (merged tombstones via their
+    #          zero stamp, moved reinit targets via the distance test)
+    #          instead of the same-frame detach sweep, and candidates
+    #          carrying a detach flag are not inserted at all.  Quality
+    #          impact bounded by the deviation A/B test (tests/test_fusion).
+    #   False (reference parity): re-gather slot positions + detach every
+    #          frame like UpdateNeighborsCUDAKernel (kernels.cu:1302-1322)
+    #          and the detach sweep (kernels.cu:1420-1437).
+    fast_neighbor_update: bool = True
     # Profiling aid: stop the compiled program after phase k in PROGRAM
     # order (1=min-depth, 2=associate, 3=blend [hoisted before merge],
     # 4=merge, 5=integrate, 6=neighbors, 7=create).
@@ -458,6 +479,9 @@ def _integrate_tiled(
     nbr_w = jnp.stack([
         neighbors[k].reshape(t_n, ts)[ids_c].reshape(k_cap * ts)
         for k in range(4)])
+    dist_w = jnp.stack([
+        state.nbr_dist[k].reshape(t_n, ts)[ids_c].reshape(k_cap * ts)
+        for k in range(4)])
     slot_live = tile_ids != INVALID_INDEX
     gidx = jnp.where(
         slot_live[:, None],
@@ -468,7 +492,8 @@ def _integrate_tiled(
     tiling = _Tiling(tile_ids=tile_ids, tile_pos=pos, gidx=gidx,
                      full_pack=pack, full_neighbors=neighbors)
     wstate = SurfelState(
-        pack=pack_w, neighbors=nbr_w, surfel_count=state.surfel_count,
+        pack=pack_w, neighbors=nbr_w, nbr_dist=dist_w,
+        surfel_count=state.surfel_count,
         merge_count=state.merge_count, overflow_count=state.overflow_count,
         skipped_tile_count=state.skipped_tile_count + skipped)
     out = _integrate_body(wstate, depth, normals_xy, radius_img, color,
@@ -484,8 +509,14 @@ def _integrate_tiled(
             out.neighbors[k].reshape(k_cap, ts), mode="drop",
             unique_indices=True).reshape(n)
         for k in range(4)])
+    full_dist = jnp.stack([
+        state.nbr_dist[k].reshape(t_n, ts).at[tile_ids].set(
+            out.nbr_dist[k].reshape(k_cap, ts), mode="drop",
+            unique_indices=True).reshape(n)
+        for k in range(4)])
     return SurfelState(
-        pack=full_pack, neighbors=full_nbr, surfel_count=out.surfel_count,
+        pack=full_pack, neighbors=full_nbr, nbr_dist=full_dist,
+        surfel_count=out.surfel_count,
         merge_count=out.merge_count, overflow_count=out.overflow_count,
         skipped_tile_count=out.skipped_tile_count)
 
@@ -517,7 +548,8 @@ def integrate_frame_bucketed(
                                global_T_local, local_T_global, frame_index,
                                params)
     sub = state._replace(pack=state.pack[:n_eff],
-                         neighbors=state.neighbors[:, :n_eff])
+                         neighbors=state.neighbors[:, :n_eff],
+                         nbr_dist=state.nbr_dist[:, :n_eff])
     sub = _integrate_body(sub, depth, normals_xy, radius_img, color,
                           global_T_local, local_T_global, frame_index,
                           params)
@@ -525,6 +557,8 @@ def integrate_frame_bucketed(
         pack=jax.lax.dynamic_update_slice(state.pack, sub.pack, (0, 0)),
         neighbors=jax.lax.dynamic_update_slice(state.neighbors,
                                                sub.neighbors, (0, 0)),
+        nbr_dist=jax.lax.dynamic_update_slice(state.nbr_dist,
+                                              sub.nbr_dist, (0, 0)),
         surfel_count=sub.surfel_count,
         merge_count=sub.merge_count,
         overflow_count=sub.overflow_count)
@@ -925,9 +959,11 @@ def _integrate_body(
         sup_a = post_a[:, 4:8]
 
     neighbors = state.neighbors
+    nbr_dist = state.nbr_dist
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
-    def integrate_at(pack, neighbors, post, pre, first, pxf, pyf, on):
+    def integrate_at(pack, neighbors, nbr_dist, post, pre, first, pxf, pyf,
+                     on):
         meas = post[:, 0]
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
@@ -983,6 +1019,7 @@ def _integrate_body(
             cols[k] = jnp.where(reinit, val, cols[k])
         cols[CONF] = jnp.where(dec, new_conf, cols[CONF])
         neighbors = jnp.where(reinit[None, :], INVALID_INDEX, neighbors)
+        nbr_dist = jnp.where(reinit[None, :], jnp.inf, nbr_dist)
 
         # Same-surface checks (kernels.cu:875-919) with (possibly reinit'd)
         # attributes.
@@ -1030,15 +1067,15 @@ def _integrate_body(
         cols[STAMP] = jnp.where(
             on, _f32bits(jnp.broadcast_to(frame_index, conf.shape)),
             cols[STAMP])
-        return jnp.stack(cols, axis=1), neighbors
+        return jnp.stack(cols, axis=1), neighbors, nbr_dist
 
     first_a = rows_pre_a[:, 1]
     first_b = rows_pre_b[:, 1]
-    pack, neighbors = integrate_at(
-        pack, neighbors, post_a, rows_pre_a, first_a,
+    pack, neighbors, nbr_dist = integrate_at(
+        pack, neighbors, nbr_dist, post_a, rows_pre_a, first_a,
         px.astype(jnp.float32), py.astype(jnp.float32), base_on)
-    pack, neighbors = integrate_at(
-        pack, neighbors, post_b, rows_pre_b, first_b,
+    pack, neighbors, nbr_dist = integrate_at(
+        pack, neighbors, nbr_dist, post_b, rows_pre_b, first_b,
         sx.astype(jnp.float32), sy.astype(jnp.float32),
         base_on & side_ok)
     _tap("pack_after_integrate", pack)
@@ -1048,8 +1085,8 @@ def _integrate_body(
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
     gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
-    neighbors = _update_neighbors(
-        params, idx, active, lx, ly, z, px, py, pack, neighbors,
+    neighbors, nbr_dist = _update_neighbors(
+        params, idx, active, lx, ly, z, px, py, pack, neighbors, nbr_dist,
         post_a[:, 0], rows_pre_a[:, 5], sup_a, Tl, gpack)
     _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
@@ -1060,11 +1097,12 @@ def _integrate_body(
         conflict_free = conflicting_surfels == INVALID_INDEX
     else:
         conflict_free = ~has_conflict
-    (pack, neighbors, surfel_count, overflow_count) = _create_new_surfels(
-        params, depth, supporting_surfels, conflict_free,
-        img_geo, img_app, img_sup, depth_post_flat, pack, neighbors,
-        state.surfel_count, state.overflow_count, frame_index,
-        gpack, dest_translate)
+    (pack, neighbors, nbr_dist, surfel_count, overflow_count) = \
+        _create_new_surfels(
+            params, depth, supporting_surfels, conflict_free,
+            img_geo, img_app, img_sup, depth_post_flat, pack, neighbors,
+            nbr_dist, state.surfel_count, state.overflow_count, frame_index,
+            gpack, dest_translate)
     _tap("pack_after_create", pack)
     _tap("neighbors_after_create", neighbors)
     _tap("surfel_count_after_create", surfel_count)
@@ -1081,11 +1119,12 @@ def _integrate_body(
                 jnp.where(recent, pack[:, p], pack[:, s]))
     else:
         for _ in range(params.regularization_iterations):
-            pack, neighbors = _regularize(params, pack, neighbors,
-                                          frame_index, sync)
+            pack, neighbors, nbr_dist = _regularize(
+                params, pack, neighbors, nbr_dist, frame_index, sync)
 
     return SurfelState(
-        pack=pack, neighbors=neighbors, surfel_count=surfel_count,
+        pack=pack, neighbors=neighbors, nbr_dist=nbr_dist,
+        surfel_count=surfel_count,
         merge_count=merge_count, overflow_count=overflow_count,
         skipped_tile_count=state.skipped_tile_count)
 
@@ -1239,14 +1278,17 @@ def _blend_measurements(params, depth, supporting_surfels, counts, sums):
 
 
 def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
-                      neighbors, meas_a, radius_a, sup_a, Tl, gpack):
+                      neighbors, nbr_dist, meas_a, radius_a, sup_a, Tl,
+                      gpack):
     """Refresh the 4 regularization neighbors from the supporting-surfel maps
-    of the 4 adjacent pixels (kernels.cu:1197-1455).
+    of the 4 adjacent pixels (kernels.cu:1197-1455); -> (neighbors, nbr_dist).
 
     The adjacent supporting-surfel indices ride in the gathered image rows
-    (sup_a), so this phase needs only the candidate/slot row gathers — both
-    from a <=8-column concat of `gpack`, the full pack synced after phase 5
-    (== `pack` in full-shape mode); indices are flattened to 1-D (both
+    (sup_a), so this phase needs only the candidate row gathers — plus the
+    existing-slot gathers when fast_neighbor_update is off (on, the slot
+    distances come from the stored nbr_dist state; see FusionParams).
+    Gathers read <=8-column concats of `gpack`, the full pack synced after
+    phase 5 (== `pack` in full-shape mode), with flat 1-D indices (both
     measured requirements for fast TPU gathers, see PERF.md).
     """
     n = gpack.shape[0]
@@ -1285,20 +1327,26 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         [gpack[:, PX:PZ + 1], gpack[:, NX:NZ + 1],
          gpack[:, DETACH:DETACH + 1]], axis=1)
 
-    # Existing slots: one 1-D per-slot gather each (slot-major rows need
-    # no index layout conversion).
     slot_idx = neighbors                                  # (4, N)
     slot_valid = slot_idx != INVALID_INDEX
-    dist_rows, det_rows = [], []
-    for k in range(4):
-        rows_k = pn_pack[_safe_idx(slot_idx[k], n)]
-        sdx = rows_k[:, 0] - ox
-        sdy = rows_k[:, 1] - oy
-        sdz = rows_k[:, 2] - oz
-        dist_rows.append(sdx * sdx + sdy * sdy + sdz * sdz)
-        det_rows.append(rows_k[:, 6])
-    slot_dist = jnp.where(slot_valid, jnp.stack(dist_rows), jnp.inf)
-    slot_det = jnp.stack(det_rows)                        # (4, N)
+    fast = params.fast_neighbor_update
+    if fast:
+        # Stored squared distances (creation / replacement / reg-refreshed).
+        slot_dist = jnp.where(slot_valid, nbr_dist, jnp.inf)
+        slot_det = None
+    else:
+        # Existing slots: one 1-D per-slot gather each (slot-major rows
+        # need no index layout conversion).
+        dist_rows, det_rows = [], []
+        for k in range(4):
+            rows_k = pn_pack[_safe_idx(slot_idx[k], n)]
+            sdx = rows_k[:, 0] - ox
+            sdy = rows_k[:, 1] - oy
+            sdz = rows_k[:, 2] - oz
+            dist_rows.append(sdx * sdx + sdy * sdy + sdz * sdz)
+            det_rows.append(rows_k[:, 6])
+        slot_dist = jnp.where(slot_valid, jnp.stack(dist_rows), jnp.inf)
+        slot_det = jnp.stack(det_rows)                    # (4, N)
     slot4 = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
 
     for direction in range(4):
@@ -1312,6 +1360,10 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         c_ok = c_ok & (c_dist <= reg_factor_sq * radius_col)
         c_ok = c_ok & (nx_ * cand_rows[:, 3] + ny_ * cand_rows[:, 4] +
                        nz_ * cand_rows[:, 5] > 0)
+        if fast:
+            # No detach sweep over the slots: don't insert flagged
+            # candidates at all (the reference inserts then sweeps).
+            c_ok = c_ok & (cand_rows[:, 6] <= 0)
 
         already = jnp.any(slot_idx == cand[None, :], axis=0)
         c_ok = c_ok & ~already
@@ -1324,19 +1376,23 @@ def _update_neighbors(params, idx, active, lx, ly, z, px, py, pack,
         onehot = (slot4 == best[None, :]) & c_ok[None, :]
         slot_idx = jnp.where(onehot, cand[None, :], slot_idx)
         slot_dist = jnp.where(onehot, c_dist[None, :], slot_dist)
-        slot_det = jnp.where(onehot, cand_rows[:, 6][None, :], slot_det)
+        if not fast:
+            slot_det = jnp.where(onehot, cand_rows[:, 6][None, :], slot_det)
 
+    if fast:
+        return slot_idx, jnp.where(slot_idx != INVALID_INDEX, slot_dist,
+                                   jnp.inf)
     # Drop neighbors whose surfel has the detach flag set
     # (kernels.cu:1420-1437).
     slot_detach = (slot_det > 0) & (slot_idx != INVALID_INDEX)
-    return jnp.where(slot_detach, INVALID_INDEX, slot_idx)
+    return jnp.where(slot_detach, INVALID_INDEX, slot_idx), nbr_dist
 
 
 def _create_new_surfels(params, depth, supporting_surfels,
                         conflict_free, img_geo, img_app, img_sup,
                         depth_m_flat,
-                        pack, neighbors, surfel_count, overflow_count,
-                        frame_index, gpack, dest_translate):
+                        pack, neighbors, nbr_dist, surfel_count,
+                        overflow_count, frame_index, gpack, dest_translate):
     """Append a surfel for every unexplained valid depth pixel
     (kernels.cu:90-271); index compaction via cumsum replaces CUB's
     DeviceScan::ExclusiveSum (kernels.cc:94-113).
@@ -1391,6 +1447,7 @@ def _create_new_surfels(params, depth, supporting_surfels,
 
     # Initial neighbors from the 4 adjacent pixels (kernels.cu:189-224).
     nbr_slots = []
+    nbr_dists = []   # stored squared slot distances (fast_neighbor_update)
     exist_sum = [jnp.zeros((c_budget,), jnp.float32) for _ in range(3)]
     exist_cnt = jnp.ones((c_budget,), jnp.float32)  # count + 1
     shifts = (-1, +1, -w, +w)
@@ -1424,6 +1481,12 @@ def _create_new_surfels(params, depth, supporting_surfels,
                                    (adj_prefix < c_budget), adj_dest,
                                    INVALID_INDEX))
         nbr_slots.append(slot)
+        # Stored distance: the quantity the slot was accepted under — the
+        # exact supporter distance, or the depth-difference proxy used for
+        # not-yet-created adjacent surfels (kernels.cu:207-215).
+        nbr_dists.append(jnp.where(
+            slot == INVALID_INDEX, jnp.inf,
+            jnp.where(use_sup, dx * dx + dy * dy + dz * dz, approx_sq)))
 
     new_sx = (pgx + exist_sum[0]) / exist_cnt
     new_sy = (pgy + exist_sum[1]) / exist_cnt
@@ -1447,6 +1510,7 @@ def _create_new_surfels(params, depth, supporting_surfels,
     new_rows_cols[DETACH] = jnp.zeros((c_budget,), jnp.float32)
     rows_c = jnp.stack(new_rows_cols, axis=1)               # (C, PACK)
     nbrs_c = jnp.stack(nbr_slots, axis=0)                   # (4, C)
+    dists_c = jnp.stack(nbr_dists, axis=0)                  # (4, C)
 
     created = jnp.minimum(jnp.minimum(total, c_budget),
                           jnp.maximum(n - surfel_count, 0))
@@ -1457,6 +1521,8 @@ def _create_new_surfels(params, depth, supporting_surfels,
     pack = pack.at[dest_w].set(rows_c, mode="drop", unique_indices=True)
     neighbors = neighbors.at[:, dest_w].set(nbrs_c, mode="drop",
                                             unique_indices=True)
+    nbr_dist = nbr_dist.at[:, dest_w].set(dists_c, mode="drop",
+                                          unique_indices=True)
 
     # Overflow counts only capacity-dropped creations; budget-deferred ones
     # retry next frame and are not overflow.
@@ -1464,11 +1530,12 @@ def _create_new_surfels(params, depth, supporting_surfels,
         0, jnp.minimum(total, c_budget) - jnp.maximum(n - surfel_count, 0))
     overflow_count = overflow_count + capacity_short
     surfel_count = surfel_count + created
-    return pack, neighbors, surfel_count, overflow_count
+    return pack, neighbors, nbr_dist, surfel_count, overflow_count
 
 
-def _regularize(params, pack, neighbors, frame_index, sync_fn):
-    """One gradient-descent denoising iteration (kernels.cu:2099-2308).
+def _regularize(params, pack, neighbors, nbr_dist, frame_index, sync_fn):
+    """One gradient-descent denoising iteration (kernels.cu:2099-2308);
+    -> (pack, neighbors, nbr_dist).
 
     Each surfel contributes plane-distance gradient terms to its recent
     neighbors (atomicAdd in CUDA -> segment scatter-add here), then every
@@ -1510,7 +1577,7 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
         reg_src = jnp.concatenate(
             [gsrc[:, SX:SZ + 1], gsrc[:, STAMP:STAMP + 1]], axis=1)
     slot_valid = neighbors != INVALID_INDEX                  # (4, N)
-    dxs, dys, dzs, recents = [], [], [], []
+    dxs, dys, dzs, recents, slot_stamps = [], [], [], [], []
     snx, sny, snz, cnt_i = [], [], [], []
     for k in range(4):
         rows_k = reg_src[_safe_idx(neighbors[k], n)]
@@ -1518,6 +1585,7 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
         dys.append(rows_k[:, 1] - sy)
         dzs.append(rows_k[:, 2] - sz)
         recents.append(_i32(rows_k[:, 3]) >= frame_index - window)
+        slot_stamps.append(_i32(rows_k[:, 3]))
         if symmetric:
             snx.append(rows_k[:, 4])
             sny.append(rows_k[:, 5])
@@ -1576,6 +1644,14 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
 
     # Remove active neighbors that drifted out of range (kernels.cu:2184-2192).
     drop = use & (nbr_dist_sq > reg_factor_sq * pack[:, RAD][None, :])
+    if params.fast_neighbor_update:
+        # Stand-in for the skipped phase-6 detach sweep: merge tombstones
+        # carry stamp == 0 (kernels.cu merge pass), so slots pointing at
+        # them are released here, one phase later.  (A live neighbor whose
+        # last update truly was frame 0 is also released — it re-enters via
+        # the candidate path if still relevant.)
+        tombstoned = (jnp.stack(slot_stamps) == 0) & (frame_index > 0)
+        drop = drop | (slot_valid & tombstoned)
     neighbors = jnp.where(drop, INVALID_INDEX, neighbors)
 
     # Per-surfel step (kernels.cu:2197-2308) over the updated neighbor list;
@@ -1603,7 +1679,13 @@ def _regularize(params, pack, neighbors, frame_index, sync_fn):
     pack = pack.at[:, SX].set(jnp.where(recent, sx - step_factor * gx, sx))
     pack = pack.at[:, SY].set(jnp.where(recent, sy - step_factor * gy, sy))
     pack = pack.at[:, SZ].set(jnp.where(recent, sz - step_factor * gz, sz))
-    return pack, neighbors
+
+    if params.fast_neighbor_update:
+        # Refresh the stored slot distances from this pass's smoothed-
+        # position gather (the quantity the NEXT frame's neighbor update
+        # replaces against; see FusionParams.fast_neighbor_update).
+        nbr_dist = jnp.where(valid2, nbr_dist_sq, jnp.inf)
+    return pack, neighbors, nbr_dist
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
@@ -1612,10 +1694,11 @@ def regularize_only(state: SurfelState, frame_index: jnp.ndarray,
     """Standalone regularization iteration (CUDASurfelReconstruction::
     Regularize, cuda_surfel_reconstruction.cc:322-337; driven by the 'd'
     terminal key, main.cc:1573-1580)."""
-    pack, neighbors = _regularize(params, state.pack, state.neighbors,
-                                  jnp.asarray(frame_index, jnp.int32),
-                                  lambda p: p)
-    return state._replace(pack=pack, neighbors=neighbors)
+    pack, neighbors, nbr_dist = _regularize(
+        params, state.pack, state.neighbors, state.nbr_dist,
+        jnp.asarray(frame_index, jnp.int32), lambda p: p)
+    return state._replace(pack=pack, neighbors=neighbors,
+                          nbr_dist=nbr_dist)
 
 
 # ---------------------------------------------------------------------------

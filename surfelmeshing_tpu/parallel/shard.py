@@ -37,6 +37,7 @@ def _state_spec(axis: str) -> SurfelState:
     return SurfelState(
         pack=P(axis, None),
         neighbors=P(None, axis),
+        nbr_dist=P(None, axis),
         surfel_count=P(),
         merge_count=P(),
         overflow_count=P(),

@@ -31,11 +31,15 @@ def _f(x):
 class Oracle:
     """Mirror of SurfelState in plain numpy arrays."""
 
-    def __init__(self, pack, neighbors, count, merge_count=0):
+    def __init__(self, pack, neighbors, count, merge_count=0,
+                 nbr_dist=None):
         from surfelmeshing_tpu.ops import fusion as FU
         self.F = FU
         self.pack = np.array(pack, F32)          # (N, PACK_WIDTH)
         self.neighbors = np.array(neighbors, np.int32)
+        # Stored squared slot distances (fast_neighbor_update semantics).
+        self.nbr_dist = (np.full(self.neighbors.shape, np.inf, F32)
+                         if nbr_dist is None else np.array(nbr_dist, F32))
         self.count = int(count)
         self.merge_count = int(merge_count)
 
@@ -241,6 +245,7 @@ class Oracle:
             P[:, F.STAMP].view(np.int32)[reinit] = frame
             P[dec, F.CONF] = new_conf[dec]
             self.neighbors[reinit] = INVALID
+            self.nbr_dist[reinit] = np.inf
 
             # Same-surface checks with (possibly reinit'd) attributes.
             nx_, ny_, nz_ = P[:, F.NX], P[:, F.NY], P[:, F.NZ]
@@ -301,14 +306,11 @@ class Oracle:
             <= F32(1.5 ** 2)
 
         slot_idx = self.neighbors.copy()
-        sc = np.clip(slot_idx, 0, n - 1)
-        sdx = P[sc, F.PX] - P[:, F.PX][:, None]
-        sdy = P[sc, F.PY] - P[:, F.PY][:, None]
-        sdz = P[sc, F.PZ] - P[:, F.PZ][:, None]
-        slot_dist = np.where(slot_idx != INVALID,
-                             sdx * sdx + sdy * sdy + sdz * sdz,
+        # fast_neighbor_update semantics: existing-slot distances come from
+        # the STORED nbr_dist (no per-frame slot re-gather); detach-flagged
+        # candidates are rejected instead of swept afterwards.
+        slot_dist = np.where(slot_idx != INVALID, self.nbr_dist,
                              np.float32(np.inf))
-        slot_det = P[sc, F.DETACH]
         # The 4 adjacent-pixel supporting surfels of pixel a, in the fixed
         # direction order x-1, x+1, y-1, y+1.
         sup_map = supporting.reshape(h, w)
@@ -327,6 +329,7 @@ class Oracle:
             ok &= c_dist <= reg_sq * rad
             ok &= nx_ * P[cc, F.NX] + ny_ * P[cc, F.NY] + \
                 nz_ * P[cc, F.NZ] > 0
+            ok &= P[cc, F.DETACH] <= 0
             ok &= ~(slot_idx == cand[:, None]).any(axis=1)
             best = np.argmax(slot_dist, axis=1)
             best_dist = slot_dist[np.arange(n), best]
@@ -334,10 +337,9 @@ class Oracle:
             rows = np.where(ok)[0]
             slot_idx[rows, best[rows]] = cand[rows]
             slot_dist[rows, best[rows]] = c_dist[rows]
-            slot_det[rows, best[rows]] = P[cc, F.DETACH][rows]
-        drop = (slot_det > 0) & (slot_idx != INVALID)
-        slot_idx[drop] = INVALID
         self.neighbors = slot_idx
+        self.nbr_dist = np.where(slot_idx != INVALID, slot_dist,
+                                 np.float32(np.inf))
         out["neighbors_after_update"] = self.neighbors.copy()
 
         # --- Phase 7: creation (kernels.cu:90-271) --------------------------
@@ -365,6 +367,7 @@ class Oracle:
             row[F.STAMP] = fbits
             # neighbors from the 4 adjacent pixels + pre-smoothed position.
             nbr = np.full(4, INVALID, np.int32)
+            ndist = np.full(4, np.inf, F32)
             esum = np.zeros(3, F32)
             ecnt = F32(1.0)
             pf = {int(q): k for k, q in enumerate(src[:c_budget])
@@ -377,6 +380,7 @@ class Oracle:
                         np.array([pgx[pixi], pgy[pixi], pgz[pixi]], F32)
                     if F32(dd @ dd) <= reg_sq * radius_flat[pixi]:
                         nbr[k] = sup
+                        ndist[k] = F32(dd @ dd)
                         esum += P[sup, F.SX:F.SZ + 1]
                         ecnt += 1
                 elif adj in pf:
@@ -384,10 +388,12 @@ class Oracle:
                     if (depth_m[pixi] - ad) ** 2 <= \
                             reg_sq * radius_flat[pixi]:
                         nbr[k] = base + pf[adj]
+                        ndist[k] = (depth_m[pixi] - ad) ** 2
             row[F.SX:F.SZ + 1] = (np.array(
                 [pgx[pixi], pgy[pixi], pgz[pixi]], F32) + esum) / ecnt
             P[d] = row
             self.neighbors[d] = nbr
+            self.nbr_dist[d] = ndist
         self.count = base + created
         out["pack_after_create"] = self.pack.copy()
         out["neighbors_after_create"] = self.neighbors.copy()
@@ -439,6 +445,10 @@ class Oracle:
         gcount = np.where(edge_on, wcnt_i, F32(0.0)).sum(1, dtype=F32)
 
         drop = use & (dist_sq > reg_sq * P[:, F.RAD][:, None])
+        # fast_neighbor_update: merge tombstones (stamp == 0) release their
+        # slots here, one phase after the reference's detach sweep.
+        if frame > 0:
+            drop |= valid & (stamps[nc] == 0)
         nbr = nbr.copy()
         nbr[drop] = INVALID
         self.neighbors = nbr
@@ -464,6 +474,9 @@ class Oracle:
                           step)
         upd = sxyz - sf[:, None] * g
         P[recent, F.SX:F.SZ + 1] = upd[recent]
+        # Refresh stored slot distances from this pass's smoothed-position
+        # reads (fast_neighbor_update semantics).
+        self.nbr_dist = np.where(valid2, dist_sq, np.float32(np.inf))
 
     def _blend(self, depth, supporting, counts, sums, p):
         """Jacobi ring feathering (kernels.cu:563-738; Jacobi contract)."""

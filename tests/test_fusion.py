@@ -432,8 +432,10 @@ class TestDeviationQuantification:
                 ("tpu_defaults", {}),
                 ("exact_reg", dict(symmetric_regularization=False)),
                 ("exact_conflict", dict(exact_conflict_arbitration=True)),
+                ("exact_neighbors", dict(fast_neighbor_update=False)),
                 ("exact_both", dict(symmetric_regularization=False,
-                                    exact_conflict_arbitration=True))):
+                                    exact_conflict_arbitration=True,
+                                    fast_neighbor_update=False))):
             state = t._run_sequence(dataclasses.replace(base, **kw),
                                     capacity=32768, frames=6)
             err[name] = self._scene_error(state)
@@ -444,6 +446,7 @@ class TestDeviationQuantification:
         assert abs(err["tpu_defaults"] - err["exact_both"]) < 1e-4
         assert abs(err["tpu_defaults"] - err["exact_reg"]) < 1e-4
         assert abs(err["tpu_defaults"] - err["exact_conflict"]) < 1e-4
+        assert abs(err["tpu_defaults"] - err["exact_neighbors"]) < 1e-4
         # And the reconstruction itself must be good in every mode.
         for v in err.values():
             assert v < 0.005

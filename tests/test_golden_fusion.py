@@ -77,7 +77,8 @@ class TestGoldenFusion:
         depth, normals, radius, color = inputs
         oracle = Oracle(np.array(state.pack),
                         np.array(state.neighbors).T,   # oracle is (N, 4)
-                        int(state.surfel_count), int(state.merge_count))
+                        int(state.surfel_count), int(state.merge_count),
+                        nbr_dist=np.array(state.nbr_dist).T)
         new_state, taps = run_tapped(state, depth, normals, radius, color,
                                      frame, params)
         want = oracle.run_frame(depth, normals, radius, color,

@@ -36,7 +36,7 @@ def main():
     from surfelmeshing_tpu.ops import preprocess as pp
     from surfelmeshing_tpu.ops.fusion import (FusionParams,
                                               create_surfel_state,
-                                              integrate_frame)
+                                              integrate_frame_bucketed)
 
     W, H = 640, 480
     SCALE = 5000.0
@@ -83,7 +83,23 @@ def main():
 
     state = jax.device_put(create_surfel_state(CAP), device)
 
+    # Count-proportional shape buckets (the app's --use_shape_buckets path):
+    # per-surfel streams cost O(n_eff), mirroring the reference's
+    # count-sized kernel grids (cuda_surfel_reconstruction.cc:131-140).
+    # The bucket is chosen from a LAGGED async count readback (+headroom per
+    # un-read frame), bit-exact vs full shapes (tests/test_app.py).
+    BUCKET_STEP = 65_536
+    budget = params.max_creations_per_frame
+
+    def pick_bucket(bound):
+        n_eff = -(-(bound + budget) // BUCKET_STEP) * BUCKET_STEP
+        return min(n_eff, CAP)
+
+    pending_counts = []
+    count_bound = 0
+
     def step(state, i):
+        nonlocal count_bound
         others = jnp.stack([depths[i + off]
                             for off in list(range(-K // 2, 0)) +
                             list(range(1, K // 2 + 1))])
@@ -92,17 +108,43 @@ def main():
         T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
-        # Full-capacity shapes: ONE compiled program for the whole run.
-        # (Bucketed shapes — integrate_frame_bucketed — trade extra compiles
-        # for count-proportional cost; off here for benchmark determinism.)
-        return integrate_frame(state, d, normals, radius, colors[i],
-                               T_gl, T_lg, jnp.int32(i), params)
+        while pending_counts and pending_counts[0].is_ready():
+            count_bound = int(pending_counts.pop(0))
+        count_bound += budget
+        state = integrate_frame_bucketed(
+            state, d, normals, radius, colors[i],
+            T_gl, T_lg, jnp.int32(i), params, pick_bucket(count_bound))
+        handle = state.surfel_count + 0   # state buffer is donated next call
+        pending_counts.append(handle)
+        try:
+            handle.copy_to_host_async()
+        except AttributeError:
+            pass
+        return state
 
     lo, hi = K // 2, NUM_FRAMES - K // 2
     # Warmup (compile + first frames).
     for i in range(lo, lo + WARMUP):
         state = step(state, i)
     jax.block_until_ready(state)
+
+    # Pre-compile every bucket the timed run can touch so mid-run bucket
+    # switches are cache hits (one throwaway execution per bucket on a
+    # scratch state; compiles are cached by call, persistently by XLA).
+    others0 = jnp.stack([depths[lo + off]
+                         for off in list(range(-K // 2, 0)) +
+                         list(range(1, K // 2 + 1))])
+    d0, n0, r0 = pp.preprocess_frame(depths[lo], others0,
+                                     transforms_for(lo), **pp_kwargs)
+    T0 = jnp.asarray(seq.poses[lo].matrix3x4().astype(np.float32))
+    T0i = jnp.asarray(seq.poses[lo].inverse().matrix3x4().astype(np.float32))
+    scratch = jax.device_put(create_surfel_state(CAP), device)
+    for n_eff in range(BUCKET_STEP, CAP + BUCKET_STEP, BUCKET_STEP):
+        scratch = integrate_frame_bucketed(
+            scratch, d0, n0, r0, colors[lo], T0, T0i, jnp.int32(lo),
+            params, min(n_eff, CAP))
+    jax.block_until_ready(scratch)
+    del scratch
 
     t0 = time.perf_counter()
     n = 0

@@ -337,7 +337,56 @@ def _shift_flat(img_flat: jnp.ndarray, hw: int, shift: int) -> jnp.ndarray:
 # The per-frame fusion update.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def _integrate_dispatch(state, depth, normals_xy, radius_img, color,
+                        global_T_local, local_T_global, frame_index, params):
+    if 0 < params.active_surfel_budget < state.pack.shape[0]:
+        return _integrate_tiled(state, depth, normals_xy, radius_img, color,
+                                global_T_local, local_T_global, frame_index,
+                                params)
+    return _integrate_body(state, depth, normals_xy, radius_img, color,
+                           global_T_local, local_T_global, frame_index,
+                           params)
+
+
+# TPU compiles get a raised memory-space-assignment VMEM budget: the xplane
+# trace shows row gathers from VMEM(S(1))-placed image packs running 4x
+# faster than from HBM (209M vs 76M idx/s), and the default ~16 MiB scoped
+# budget leaves the phase-3 post-blend pack and several scatter operand
+# streams in HBM.  Per-jit compiler_options (proto-backed DebugOptions
+# flags) are forwarded by the remote-compile path; CPU/other backends get
+# no options (the TPU flag is unknown to them).
+_TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+_backend_jit_cache = {}
+
+
+def _in_trace() -> bool:
+    """True when called under an outer jit trace (compiler_options are only
+    legal on a top-level jit, so nested calls must inline)."""
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:
+        return False
+
+
+def _backend_jit(key, fn, **jit_kwargs):
+    """jax.jit with _TPU_COMPILER_OPTIONS on TPU backends, resolved lazily
+    at first call (module import happens before the backend is chosen).
+    Under an outer trace the function is returned un-jitted: it inlines
+    into the caller's jit (whose own compiler options apply)."""
+    if _in_trace():
+        return functools.partial(fn)
+    backend = jax.default_backend()
+    cached = _backend_jit_cache.get((key, backend))
+    if cached is None:
+        tpu = backend in ("tpu", "axon")
+        cached = jax.jit(
+            fn, compiler_options=_TPU_COMPILER_OPTIONS if tpu else None,
+            **jit_kwargs)
+        _backend_jit_cache[(key, backend)] = cached
+    return cached
+
+
 def integrate_frame(
     state: SurfelState,
     depth: jnp.ndarray,          # (H, W) u16, preprocessed
@@ -351,13 +400,10 @@ def integrate_frame(
 ) -> SurfelState:
     """One fusion step == CUDASurfelReconstruction::Integrate
     (cuda_surfel_reconstruction.cc:112-320)."""
-    if 0 < params.active_surfel_budget < state.pack.shape[0]:
-        return _integrate_tiled(state, depth, normals_xy, radius_img, color,
-                                global_T_local, local_T_global, frame_index,
-                                params)
-    return _integrate_body(state, depth, normals_xy, radius_img, color,
-                           global_T_local, local_T_global, frame_index,
-                           params)
+    fn = _backend_jit("integrate_frame", _integrate_dispatch,
+                      static_argnames=("params",), donate_argnums=(0,))
+    return fn(state, depth, normals_xy, radius_img, color, global_T_local,
+              local_T_global, frame_index, params)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -521,9 +567,24 @@ def _integrate_tiled(
         skipped_tile_count=out.skipped_tile_count)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "n_eff"),
-                   donate_argnums=(0,))
-def integrate_frame_bucketed(
+def integrate_frame_bucketed(*args, **kwargs):
+    """integrate_frame over only the first n_eff surfel slots.
+
+    Every per-surfel stream costs O(n) regardless of how many slots are live,
+    so the driver picks n_eff = next bucket above surfel_count (+ creation
+    headroom) and this variant runs the whole update on sliced views, then
+    writes the rows back.  Requires n_eff >= surfel_count +
+    max_creations_per_frame so in-frame creations stay inside the slice.
+    This mirrors the reference's count-sized kernel grids
+    (cuda_surfel_reconstruction.cc:131-140: every kernel launches over
+    surfels_size, not capacity)."""
+    fn = _backend_jit("integrate_frame_bucketed", _integrate_bucketed_impl,
+                      static_argnames=("params", "n_eff"),
+                      donate_argnums=(0,))
+    return fn(*args, **kwargs)
+
+
+def _integrate_bucketed_impl(
     state: SurfelState,
     depth: jnp.ndarray,
     normals_xy: jnp.ndarray,
@@ -535,13 +596,6 @@ def integrate_frame_bucketed(
     params: FusionParams,
     n_eff: int,
 ) -> SurfelState:
-    """integrate_frame over only the first n_eff surfel slots.
-
-    Every per-surfel stream costs O(n) regardless of how many slots are live,
-    so the driver picks n_eff = next bucket above surfel_count (+ creation
-    headroom) and this variant runs the whole update on sliced views, then
-    writes the rows back.  Requires n_eff >= surfel_count +
-    max_creations_per_frame so in-frame creations stay inside the slice."""
     n = state.pack.shape[0]
     if n_eff >= n:
         return _integrate_body(state, depth, normals_xy, radius_img, color,

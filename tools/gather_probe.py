@@ -53,39 +53,76 @@ def run(variant):
     BLK = 16_384
 
     def pallas_gather(src, idx):
-        def kern(idx_ref, src_ref, out_ref):
-            out_ref[...] = jnp.take(src_ref[...], idx_ref[...], axis=0)
+        # Mosaic's dynamic_gather wants operand/indices/output the same
+        # shape, so gather in source-sized blocks of broadcast indices
+        # (take_along_axis over axis 0, sublane-dim gather).
+        n_pad = ((N + HW - 1) // HW) * HW
+        idx_p = jnp.pad(idx, (0, n_pad - N))
 
-        return pl.pallas_call(
+        def kern(idx_ref, src_ref, out_ref):
+            ixb = jnp.broadcast_to(idx_ref[...][:, None], (HW, COLS))
+            out_ref[...] = jnp.take_along_axis(src_ref[...], ixb, axis=0)
+
+        out = pl.pallas_call(
             kern,
-            grid=(N // BLK,),
+            grid=(n_pad // HW,),
             in_specs=[
-                pl.BlockSpec((BLK,), lambda i: (i,)),
+                pl.BlockSpec((HW,), lambda i: (i,)),
                 pl.BlockSpec((HW, COLS), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((BLK, COLS), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((N, COLS), jnp.float32),
+            out_specs=pl.BlockSpec((HW, COLS), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, COLS), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(idx, src)
+        )(idx_p, src)
+        return out[:N]
 
     def pallas_gather3(srcs, idx):
-        def kern(idx_ref, a_ref, b_ref, c_ref, oa, ob, oc):
-            ix = idx_ref[...]
-            oa[...] = jnp.take(a_ref[...], ix, axis=0)
-            ob[...] = jnp.take(b_ref[...], ix, axis=0)
-            oc[...] = jnp.take(c_ref[...], ix, axis=0)
+        # Three packs gathered with one shared index block per grid step.
+        n_pad = ((N + HW - 1) // HW) * HW
+        idx_p = jnp.pad(idx, (0, n_pad - N))
 
-        return pl.pallas_call(
+        def kern(idx_ref, a_ref, b_ref, c_ref, oa, ob, oc):
+            ixb = jnp.broadcast_to(idx_ref[...][:, None], (HW, COLS))
+            oa[...] = jnp.take_along_axis(a_ref[...], ixb, axis=0)
+            ob[...] = jnp.take_along_axis(b_ref[...], ixb, axis=0)
+            oc[...] = jnp.take_along_axis(c_ref[...], ixb, axis=0)
+
+        outs = pl.pallas_call(
             kern,
-            grid=(N // BLK,),
-            in_specs=[pl.BlockSpec((BLK,), lambda i: (i,))] +
+            grid=(n_pad // HW,),
+            in_specs=[pl.BlockSpec((HW,), lambda i: (i,))] +
                      [pl.BlockSpec((HW, COLS), lambda i: (0, 0))] * 3,
-            out_specs=[pl.BlockSpec((BLK, COLS), lambda i: (i, 0))] * 3,
-            out_shape=[jax.ShapeDtypeStruct((N, COLS), jnp.float32)] * 3,
+            out_specs=[pl.BlockSpec((HW, COLS), lambda i: (i, 0))] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n_pad, COLS), jnp.float32)] * 3,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(idx, *srcs)
+        )(idx_p, *srcs)
+        return [o[:N] for o in outs]
+
+    def pallas_gather_lane(src, idx):
+        # Transposed formulation: operand (COLS, HW), lane-dim gather.
+        srcT = src.T
+        n_pad = ((N + HW - 1) // HW) * HW
+        idx_p = jnp.pad(idx, (0, n_pad - N))
+
+        def kern(idx_ref, src_ref, out_ref):
+            ixb = jnp.broadcast_to(idx_ref[...][None, :], (COLS, HW))
+            out_ref[...] = jnp.take_along_axis(src_ref[...], ixb, axis=1)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(n_pad // HW,),
+            in_specs=[
+                pl.BlockSpec((HW,), lambda i: (i,)),
+                pl.BlockSpec((COLS, HW), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((COLS, HW), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((COLS, n_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(idx_p, srcT)
+        return out[:, :N].T
 
     @jax.jit
     def chain_xla(idx):
@@ -115,8 +152,16 @@ def run(variant):
             idx = _chain_idx(idx, oa + ob + oc)
         return oa, idx
 
+    @jax.jit
+    def chain_pallas_lane(idx):
+        for _ in range(CHAIN):
+            out = pallas_gather_lane(src, idx)
+            idx = _chain_idx(idx, out)
+        return out, idx
+
     fns = {"xla": chain_xla, "pallas": chain_pallas,
-           "pallas3": chain_pallas3, "xla3": chain_xla3}
+           "pallas3": chain_pallas3, "xla3": chain_xla3,
+           "pallas_lane": chain_pallas_lane}
     fn = fns[variant]
 
     out, _ = fn(idx0)   # compile
@@ -124,7 +169,7 @@ def run(variant):
     # correctness spot check vs XLA
     ref = np.asarray(src)[np.asarray(idx0)]
     got = np.asarray(out)
-    if variant in ("xla", "pallas"):
+    if variant in ("xla", "pallas", "pallas_lane"):
         assert np.array_equal(ref, got), "gather mismatch!"
 
     t0 = time.perf_counter()

@@ -232,6 +232,17 @@ class FusionParams:
     #   True:  build the min-index conflictor map like the reference's
     #          last-writer map, guaranteeing a single decrementer per pixel.
     exact_conflict_arbitration: bool = False
+    # Pixel-map construction backend for phases 1-2 (the three per-pixel
+    # reduction maps: min-depth raster, min-index supporter, count+depth-sum):
+    #   True  (TPU-native default): sort the surfel->pixel candidate stream
+    #          by pixel key (TPU sort of 1M i32 keys measures ~1.6 ms,
+    #          tools/sort_probe.py), reduce each contiguous pixel run with
+    #          guarded prefix passes (vector-rate), and write run results
+    #          with ONE unique-index row set per map.  Bit-identical to the
+    #          scatter path: min/add reductions are order-independent.
+    #   False: three .at[].min/.add scatter streams (scalar-unit bound,
+    #          ~143M updates/s -> ~7 ms per stream at 1M candidates).
+    sorted_pixel_maps: bool = True
     # Neighbor update (phase 6) slot handling:
     #   True  (TPU-native default): existing-slot distances come from the
     #          stored state.nbr_dist column (written at creation, candidate
@@ -650,6 +661,38 @@ class _Tiling(NamedTuple):
     full_neighbors: jnp.ndarray  # (N, 4)
 
 
+def _seg_prefix(sk, vals):
+    """Guarded Hillis-Steele prefix reductions over contiguous runs of the
+    sorted key vector `sk`: after ceil(log2(m)) passes, position i holds the
+    reduction over every j <= i with sk[j] == sk[i] (runs are contiguous, so
+    the same-key-at-lag guard composes transitively).  `vals` is a list of
+    (vector, op) with op in {"minf", "mini", "sum"}; returns reduced vectors.
+    All passes are elementwise/shift work (vector-rate; tools/sort_probe.py
+    measures 20 passes over 1M x 2 streams at ~0.5 ms) — no scatters."""
+    m = sk.shape[0]
+    idents = {"minf": jnp.inf, "mini": INVALID_INDEX, "sum": 0}
+    vals = [(v, op) for v, op in vals]
+    shift = 1
+    while shift < m:
+        lag_k = jnp.concatenate(
+            [jnp.full((shift,), -1, sk.dtype), sk[:-shift]])
+        guard = lag_k == sk
+        out = []
+        for v, op in vals:
+            ident = jnp.asarray(idents[op], v.dtype)
+            lag_v = jnp.concatenate(
+                [jnp.full((shift,), ident, v.dtype), v[:-shift]])
+            contrib = jnp.where(guard, lag_v, ident)
+            if op == "sum":
+                v = v + contrib
+            else:
+                v = jnp.minimum(v, contrib)
+            out.append((v, op))
+        vals = out
+        shift *= 2
+    return [v for v, _ in vals]
+
+
 def _integrate_body(
     state: SurfelState,
     depth: jnp.ndarray,
@@ -761,11 +804,38 @@ def _integrate_body(
             merge_count=state.merge_count + probe.astype(jnp.int32))
 
     # --- Phase 1: RenderMinDepth (kernels.cu:1458-1557) -------------------
-    # One concatenated scatter stream for both candidate pixels.
-    first_depth = jnp.full((hw,), jnp.inf, jnp.float32)
-    first_depth = combine_min(first_depth.at[
-        jnp.concatenate([pix_a, pix_b])].min(
-        jnp.concatenate([z, z]), mode="drop"))
+    sorted_maps = params.sorted_pixel_maps
+    if sorted_maps:
+        # Sort-and-segment-reduce map construction (see FusionParams).
+        # NO scatter anywhere: a per-element map write of a 1M stream runs
+        # at the same scalar-unit rate whether RMW or unique-set (traced),
+        # so the maps are extracted by a second sort instead.  One dummy
+        # entry per pixel rides the stream with a doubled key (2*pix+1 vs
+        # candidates' 2*pix) so it is the LAST element of its pixel run
+        # regardless of sort stability; after the prefix reduction the
+        # dummy holds the run total, and sorting back by source index
+        # lands all hw dummies in one contiguous pixel-ordered SLICE.
+        # Masked candidates key to the 2*hw sentinel and sort to the end.
+        n2 = 2 * pix_a.shape[0]
+        ab_key = jnp.concatenate([
+            jnp.where(proj_a, 2 * pix_a, 2 * hw),
+            jnp.where(proj_b, 2 * pix_b, 2 * hw),
+            2 * jax.lax.iota(jnp.int32, hw) + 1])
+        src_iota = jax.lax.iota(jnp.int32, n2 + hw)
+        aug_z = jnp.concatenate(
+            [z, z, jnp.full((hw,), jnp.inf, jnp.float32)])
+        sk, sz_srt, ssrc = jax.lax.sort([ab_key, aug_z, src_iota],
+                                        num_keys=1)
+        run_key = sk >> 1                       # candidates+dummy: one run
+        (min_z,) = _seg_prefix(run_key, [(sz_srt, "minf")])
+        _, fd_restored = jax.lax.sort([ssrc, min_z], num_keys=1)
+        first_depth = combine_min(fd_restored[n2:])
+    else:
+        # One concatenated scatter stream for both candidate pixels.
+        first_depth = jnp.full((hw,), jnp.inf, jnp.float32)
+        first_depth = combine_min(first_depth.at[
+            jnp.concatenate([pix_a, pix_b])].min(
+            jnp.concatenate([z, z]), mode="drop"))
     _tap("first_depth", first_depth)
     if params.debug_stop_after <= 1:
         return _dbg_return(first_depth)
@@ -831,38 +901,70 @@ def _integrate_body(
     # (kernels.cu:1610-1618).  The explicit min-index conflictor map is only
     # materialized under exact_conflict_arbitration.
     has_conflict = first_depth < (1.0 - noise) * depth_m_flat
-    if params.exact_conflict_arbitration:
-        conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-        conflicting_surfels = combine_min(conflicting_surfels.at[
-            jnp.concatenate([
-                jnp.where(conflict_a | m_conflict, pix_a, INVALID_INDEX),
-                jnp.where(conflict_b, pix_b, INVALID_INDEX)])].min(
-            jnp.concatenate([idx, idx]), mode="drop"))
-    else:
-        conflicting_surfels = None
 
-    supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
-    supporting_surfels = combine_min(supporting_surfels.at[jnp.concatenate([
-        jnp.where(support_a, pix_a, INVALID_INDEX),
-        jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
-        jnp.concatenate([idx, idx]), mode="drop"))
-
-    # Support count + depth sum in ONE i32 add-scatter: the depth rides in
-    # the low 25 bits as fixed point at depth-unit resolution (supporter
-    # depth * depth_scaling <= (1+noise)*65535 < 2^17), the count in bits
-    # 25.. (scatter cost is per index stream; halving the streams halves the
-    # scalar-unit time).  Documented deviation from the reference's separate
-    # f32 sums (kernels.cu:1691-1694): the blending average is quantized to
-    # one depth unit, and >=64 supporters on one pixel would overflow into
-    # the sign bit (the sum field itself is safe: 63 * (2^17-1) < 2^25;
-    # real data has a handful of supporters per pixel).
+    # Support count + depth sum ride ONE i32 reduction: the depth in the
+    # low 25 bits as fixed point at depth-unit resolution (supporter depth
+    # * depth_scaling <= (1+noise)*65535 < 2^17), the count in bits 25..
+    # (cost is per index stream; halving the streams halves the time).
+    # Documented deviation from the reference's separate f32 sums
+    # (kernels.cu:1691-1694): the blending average is quantized to one
+    # depth unit, and >=64 supporters on one pixel would overflow into the
+    # sign bit (the sum field itself is safe: 63 * (2^17-1) < 2^25; real
+    # data has a handful of supporters per pixel).
     SUM_BITS = 25
-    ab_pix = jnp.concatenate([jnp.where(support_a, pix_a, INVALID_INDEX),
-                              jnp.where(support_b, pix_b, INVALID_INDEX)])
     z_units = jnp.clip(jnp.round(z * params.depth_scaling), 0,
                        (1 << 17) - 1).astype(jnp.int32)
-    packed = combine_add(jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
-        jnp.concatenate([z_units, z_units]) + (1 << SUM_BITS), mode="drop"))
+    sup_idx_ab = jnp.concatenate([jnp.where(support_a, idx, INVALID_INDEX),
+                                  jnp.where(support_b, idx, INVALID_INDEX)])
+    packed_ab = jnp.concatenate([
+        jnp.where(support_a, z_units + (1 << SUM_BITS), 0),
+        jnp.where(support_b, z_units + (1 << SUM_BITS), 0)])
+    if params.exact_conflict_arbitration:
+        conf_idx_ab = jnp.concatenate([
+            jnp.where(conflict_a | m_conflict, idx, INVALID_INDEX),
+            jnp.where(conflict_b, idx, INVALID_INDEX)])
+    if sorted_maps:
+        # Second sort with the SAME augmented keys (support flags depend on
+        # first_depth, so the phase-2 payloads don't exist at the first
+        # sort); a second sort measures cheaper than gathering the payloads
+        # through a carried permutation (tools/sort_probe.py).  Same
+        # dummy-entry + restore-sort + slice extraction as phase 1.
+        ops = [jnp.concatenate(
+                   [sup_idx_ab, jnp.full((hw,), INVALID_INDEX, jnp.int32)]),
+               jnp.concatenate([packed_ab, jnp.zeros((hw,), jnp.int32)])]
+        if params.exact_conflict_arbitration:
+            ops.append(jnp.concatenate(
+                [conf_idx_ab, jnp.full((hw,), INVALID_INDEX, jnp.int32)]))
+        srt = jax.lax.sort([ab_key] + ops + [src_iota], num_keys=1)
+        vals = [(srt[1], "mini"), (srt[2], "sum")]
+        if params.exact_conflict_arbitration:
+            vals.append((srt[3], "mini"))
+        red = _seg_prefix(srt[0] >> 1, vals)
+        restored = jax.lax.sort([srt[-1]] + red, num_keys=1)
+        supporting_surfels = combine_min(restored[1][n2:])
+        packed = combine_add(restored[2][n2:])
+        conflicting_surfels = None
+        if params.exact_conflict_arbitration:
+            conflicting_surfels = combine_min(restored[3][n2:])
+    else:
+        if params.exact_conflict_arbitration:
+            conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
+            conflicting_surfels = combine_min(conflicting_surfels.at[
+                jnp.concatenate([pix_a, pix_b])].min(
+                conf_idx_ab, mode="drop"))
+        else:
+            conflicting_surfels = None
+        supporting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
+        supporting_surfels = combine_min(supporting_surfels.at[
+            jnp.concatenate([
+                jnp.where(support_a, pix_a, INVALID_INDEX),
+                jnp.where(support_b, pix_b, INVALID_INDEX)])].min(
+            jnp.concatenate([idx, idx]), mode="drop"))
+        ab_pix = jnp.concatenate([
+            jnp.where(support_a, pix_a, INVALID_INDEX),
+            jnp.where(support_b, pix_b, INVALID_INDEX)])
+        packed = combine_add(jnp.zeros((hw,), jnp.int32).at[ab_pix].add(
+            packed_ab, mode="drop"))
     support_counts = packed >> SUM_BITS
     support_depth_sums = (packed & ((1 << SUM_BITS) - 1)).astype(
         jnp.float32) * inv_scale

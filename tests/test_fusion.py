@@ -403,6 +403,45 @@ class TestBucketedEquivalence:
                                       np.asarray(full.neighbors))
 
 
+class TestSortedPixelMaps:
+    def test_sorted_matches_scatter_bitexact(self):
+        """The sort+segment-reduce map construction (sorted_pixel_maps,
+        the TPU-native default) must reproduce the scatter path
+        bit-exactly: min/add reductions are order-independent, so both
+        backends compute the same three per-pixel maps."""
+        t = TestActiveSetTiling()
+        base = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1)
+        srt = t._run_sequence(base, capacity=8192)
+        sct = t._run_sequence(
+            dataclasses.replace(base, sorted_pixel_maps=False),
+            capacity=8192)
+        assert int(srt.surfel_count) == int(sct.surfel_count)
+        np.testing.assert_array_equal(np.asarray(srt.pack),
+                                      np.asarray(sct.pack))
+        np.testing.assert_array_equal(np.asarray(srt.neighbors),
+                                      np.asarray(sct.neighbors))
+
+    def test_sorted_matches_scatter_exact_conflict(self):
+        """Same equivalence with the exact min-index conflictor map on
+        (the sorted path folds it into the same second sort)."""
+        t = TestActiveSetTiling()
+        base = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1, exact_conflict_arbitration=True)
+        srt = t._run_sequence(base, capacity=8192)
+        sct = t._run_sequence(
+            dataclasses.replace(base, sorted_pixel_maps=False),
+            capacity=8192)
+        np.testing.assert_array_equal(np.asarray(srt.pack),
+                                      np.asarray(sct.pack))
+        np.testing.assert_array_equal(np.asarray(srt.neighbors),
+                                      np.asarray(sct.neighbors))
+
+
 class TestDeviationQuantification:
     """A/B the two documented TPU-native default deviations against their
     reference-exact modes on the synthetic scene: the reconstruction-quality

@@ -48,8 +48,11 @@ def run(variant):
                             jnp.int32)
 
     def chain_tax(k, out):
-        return k + (out.reshape(-1)[0] != out.reshape(-1)[0]).astype(
-            jnp.int32)
+        # f32-based NaN-comparison tax (i32 x!=x folds to 0 and the chain
+        # CSEs away -- measured 0.002ms/step on the first probe version);
+        # also roll so successive iterations sort a different array.
+        t = (z[0] != z[0]).astype(jnp.int32)
+        return jnp.roll(k, 1) + t
 
     def seg_ops(sk, sz, si, szu):
         """Segment boundaries from sorted keys; forward scans then pick the
@@ -80,16 +83,57 @@ def run(variant):
     def chain_sort1(k):
         out = k
         for _ in range(CHAIN):
-            out = jax.lax.sort(out)
-            out = out + chain_tax(out, out)
+            out = jax.lax.sort(chain_tax(out, out))
         return out
+
+    @jax.jit
+    def chain_sort2(k):
+        for _ in range(CHAIN):
+            sk, perm = jax.lax.sort([k, jax.lax.iota(jnp.int32, M)],
+                                    num_keys=1)
+            k = chain_tax(sk, perm)
+        return sk
+
+    @jax.jit
+    def chain_cumsum(k):
+        out = k
+        for _ in range(CHAIN):
+            out = jnp.cumsum(chain_tax(out, out))
+        return out
+
+    @jax.jit
+    def chain_segmin(k):
+        # Manual log-shift segmented min over a sorted-by-key array:
+        # 20 passes of (shift, same-segment select, min) on 2 streams.
+        sk = k
+        for _ in range(CHAIN):
+            sk = chain_tax(sk, sk)
+            val = z
+            vid = idxv
+            shift = 1
+            while shift < M:
+                ks = jnp.concatenate([jnp.full((shift,), -1, jnp.int32),
+                                      sk[:-shift]])
+                same = ks == sk
+                vs = jnp.concatenate([jnp.full((shift,), jnp.inf), val[:-shift]])
+                ids = jnp.concatenate([jnp.full((shift,), 2**31 - 1, jnp.int32),
+                                       vid[:-shift]])
+                val = jnp.minimum(val, jnp.where(same, vs, jnp.inf))
+                vid = jnp.minimum(vid, jnp.where(same, ids, 2**31 - 1))
+                shift *= 2
+            sk = sk + (val[0] != val[0]).astype(jnp.int32)
+        return val
+
+    def _f32tax(v):
+        # Serializing, non-foldable tax: f32 NaN self-compare of a result.
+        return (v.reshape(-1)[0] != v.reshape(-1)[0]).astype(jnp.int32)
 
     @jax.jit
     def chain_sort4(k):
         for _ in range(CHAIN):
             sk, sz, si, szu = jax.lax.sort(
                 [k, z, idxv, zu], num_keys=1)
-            k = chain_tax(k, sk)
+            k = jnp.roll(sk, 1) + _f32tax(sz)
         return sk
 
     @jax.jit
@@ -98,7 +142,7 @@ def run(variant):
         out = None
         for _ in range(CHAIN):
             fd, sup, sm = seg_ops(sk, z, idxv, zu)
-            sk = chain_tax(sk, fd)
+            sk = jnp.roll(sk, 1) + _f32tax(fd)
         return fd
 
     @jax.jit
@@ -107,7 +151,7 @@ def run(variant):
             sk, sz, si, szu = jax.lax.sort(
                 [k, z, idxv, zu], num_keys=1)
             fd, sup, sm = seg_ops(sk, sz, si, szu)
-            k = chain_tax(k, fd)
+            k = jnp.roll(sk, 1) + _f32tax(fd)
         return fd
 
     @jax.jit
@@ -119,11 +163,12 @@ def run(variant):
             sk, perm = jax.lax.sort(
                 [k, jax.lax.iota(jnp.int32, M)], num_keys=1)
             rows = src[perm]
-            k = chain_tax(k, sk + rows[:, 0].astype(jnp.int32))
+            k = jnp.roll(sk, 1) + _f32tax(rows)
         return sk
 
-    fns = {"sort1": chain_sort1, "sort4": chain_sort4, "scan": chain_scan,
-           "full": chain_full, "argsortg": chain_argsortg}
+    fns = {"sort1": chain_sort1, "sort2": chain_sort2, "sort4": chain_sort4,
+           "scan": chain_scan, "full": chain_full, "argsortg": chain_argsortg,
+           "cumsum": chain_cumsum, "segmin": chain_segmin}
     fn = fns[variant]
 
     out = fn(keys0)
@@ -139,7 +184,8 @@ def run(variant):
 
 
 if __name__ == "__main__":
-    for v in sys.argv[1:] or ["sort1", "sort4", "scan", "full", "argsortg"]:
+    for v in sys.argv[1:] or ["sort1", "sort2", "sort4", "scan", "full",
+                              "argsortg", "cumsum", "segmin"]:
         try:
             run(v)
         except Exception as e:

@@ -110,26 +110,38 @@ def test_staged_stage_timings(dataset, tmp_path):
     """--log_timings_staged fills the reference's per-stage columns with
     real measured device ms (VERDICT: no zero columns;
     reference format main.cc:1531-1545)."""
-    log = tmp_path / "timings.txt"
-    _run(dataset, tmp_path, "--log_timings", str(log),
-         "--log_timings_staged")
-    lines = log.read_text().strip().splitlines()
-    assert lines
     stages = ["data_association", "surfel_merging", "measurement_blending",
               "integration", "neighbor_update", "new_surfel_creation",
               "regularization"]
-    nonzero = {s: 0 for s in stages}
-    for line in lines:
-        toks = line.split()
-        vals = {toks[i]: float(toks[i + 1])
-                for i in range(2, len(toks) - 1, 2)}
-        for s in stages:
-            assert s in vals
-            if vals[s] > 0:
-                nonzero[s] += 1
+
+    def run_and_count(out_dir):
+        log = out_dir / "timings.txt"
+        _run(dataset, out_dir, "--log_timings", str(log),
+             "--log_timings_staged")
+        lines = log.read_text().strip().splitlines()
+        assert lines
+        nonzero = {s: 0 for s in stages}
+        for line in lines:
+            toks = line.split()
+            vals = {toks[i]: float(toks[i + 1])
+                    for i in range(2, len(toks) - 1, 2)}
+            for s in stages:
+                assert s in vals
+                if vals[s] > 0:
+                    nonzero[s] += 1
+        return nonzero
+
     # Every stage must be a real measurement on at least one frame (host
     # timing noise on tiny CPU frames can clamp a small stage's delta to 0
-    # on some frames; a column that is ALWAYS zero means it isn't measured).
+    # on some frames; a column that is ALWAYS zero means it isn't
+    # measured).  The prefix-difference probes are wall-clock, so a loaded
+    # machine can zero every sample of a sub-ms stage in one short run —
+    # retry once before calling that a failure.
+    nonzero = run_and_count(tmp_path)
+    if not all(nonzero[s] >= 1 for s in stages):
+        retry_dir = tmp_path / "retry"
+        retry_dir.mkdir()
+        nonzero = run_and_count(retry_dir)
     for s in stages:
         assert nonzero[s] >= 1, (s, nonzero)
 

@@ -403,6 +403,58 @@ class TestBucketedEquivalence:
                                       np.asarray(full.neighbors))
 
 
+class TestSegPrefix:
+    """_seg_prefix: guarded Hillis-Steele prefix reductions over contiguous
+    key runs (the engine under sorted_pixel_maps)."""
+
+    def _oracle(self, sk, vals):
+        out = []
+        for v, op in vals:
+            v = np.array(v)
+            r = v.copy()
+            for i in range(1, len(sk)):
+                if sk[i] == sk[i - 1]:
+                    r[i] = r[i - 1] + v[i] if op == "sum" else \
+                        min(r[i - 1], v[i])
+            out.append(r)
+        return out
+
+    def test_mixed_ops_random_runs(self):
+        rng = np.random.default_rng(7)
+        sk = np.sort(rng.integers(0, 40, 257)).astype(np.int32)
+        vf = rng.normal(size=257).astype(np.float32)
+        vi = rng.integers(0, 1 << 20, 257).astype(np.int32)
+        vs = rng.integers(0, 1000, 257).astype(np.int32)
+        got = F._seg_prefix(jnp.asarray(sk),
+                            [(jnp.asarray(vf), "minf"),
+                             (jnp.asarray(vi), "mini"),
+                             (jnp.asarray(vs), "sum")])
+        want = self._oracle(sk, [(vf, "minf"), (vi, "mini"), (vs, "sum")])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), w)
+
+    def test_single_run_spans_everything(self):
+        n = 100
+        sk = np.zeros(n, np.int32)
+        v = np.arange(n, 0, -1).astype(np.float32)
+        (got,) = F._seg_prefix(jnp.asarray(sk), [(jnp.asarray(v), "minf")])
+        np.testing.assert_array_equal(
+            np.asarray(got), np.minimum.accumulate(v))
+
+    def test_all_distinct_keys_identity(self):
+        sk = np.arange(64, dtype=np.int32)
+        v = np.random.default_rng(0).normal(size=64).astype(np.float32)
+        (got,) = F._seg_prefix(jnp.asarray(sk), [(jnp.asarray(v), "minf")])
+        np.testing.assert_array_equal(np.asarray(got), v)
+
+    def test_inf_identity_untouched(self):
+        sk = np.array([0, 0, 1, 1, 1], np.int32)
+        v = np.array([np.inf, np.inf, 3.0, np.inf, 2.0], np.float32)
+        (got,) = F._seg_prefix(jnp.asarray(sk), [(jnp.asarray(v), "minf")])
+        np.testing.assert_array_equal(
+            np.asarray(got), [np.inf, np.inf, 3.0, 3.0, 2.0])
+
+
 class TestSortedPixelMaps:
     def test_sorted_matches_scatter_bitexact(self):
         """The sort+segment-reduce map construction (sorted_pixel_maps,

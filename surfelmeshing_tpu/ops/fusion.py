@@ -693,6 +693,40 @@ def _seg_prefix(sk, vals):
     return [v for v, _ in vals]
 
 
+def _seg_broadcast_last(sk, vals):
+    """Backward pointer-jumping over contiguous runs of the sorted key
+    vector `sk`: after ceil(log2(m)) passes every element holds the value
+    of the LAST element of its run (where the dummy entry sits, carrying
+    the run total after _seg_prefix and any dummy-attached per-pixel
+    payloads).  Inductive invariant: after pass k, v_i = orig[min(run_end,
+    i + 2^k - 1)]."""
+    m = sk.shape[0]
+    shift = 1
+    while shift < m:
+        lead_k = jnp.concatenate(
+            [sk[shift:], jnp.full((shift,), -2, sk.dtype)])
+        guard = lead_k == sk
+        vals = [jnp.where(guard,
+                          jnp.concatenate(
+                              [v[shift:], jnp.zeros((shift,), v.dtype)]),
+                          v) for v in vals]
+        shift *= 2
+    return vals
+
+
+def _gather_flat_lane8(src_flat, idx):
+    """Flat 1-col gather via the lane8 trick (PERF.md): view the source as
+    (M/8, 8) rows, gather row idx>>3, select lane idx&7 — ~2.1x the
+    width-1 gather rate.  Falls back to a plain gather when M % 8 != 0."""
+    m = src_flat.shape[0]
+    if m % 8 != 0:
+        return src_flat[idx]
+    rows = src_flat.reshape(-1, 8)[idx >> 3]
+    lane = (idx & 7)[:, None]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    return jnp.sum(jnp.where(lane == iota8, rows, 0), axis=1)
+
+
 def _integrate_body(
     state: SurfelState,
     depth: jnp.ndarray,
@@ -923,29 +957,50 @@ def _integrate_body(
         conf_idx_ab = jnp.concatenate([
             jnp.where(conflict_a | m_conflict, idx, INVALID_INDEX),
             jnp.where(conflict_b, idx, INVALID_INDEX)])
+    # RGB packed into one f32 lane (u8 values are integers < 2^24, exact);
+    # computed here so the sorted path can deliver it per candidate.
+    cr = color[0].reshape(hw).astype(jnp.float32)
+    cg = color[1].reshape(hw).astype(jnp.float32)
+    cb = color[2].reshape(hw).astype(jnp.float32)
+    rgb_packed = cr + cg * 256.0 + cb * 65536.0
+    # Per-candidate streams (concat order [a; b]) delivered by the sorted
+    # path below or by the legacy img_post gathers (scatter path).
+    sup_own_ab = counts_ab = rgb_ab = conf_own_ab = None
     if sorted_maps:
         # Second sort with the SAME augmented keys (support flags depend on
         # first_depth, so the phase-2 payloads don't exist at the first
         # sort); a second sort measures cheaper than gathering the payloads
         # through a carried permutation (tools/sort_probe.py).  Same
-        # dummy-entry + restore-sort + slice extraction as phase 1.
+        # dummy-entry + restore-sort + slice extraction as phase 1, plus:
+        # after the prefix reduction the run totals (at the dummy) are
+        # pointer-jump broadcast back over the whole run, so the restore
+        # sort ALSO returns per-candidate supporter / count+sum / rgb
+        # values — replacing three columns of the post-blend gather pair.
         ops = [jnp.concatenate(
                    [sup_idx_ab, jnp.full((hw,), INVALID_INDEX, jnp.int32)]),
-               jnp.concatenate([packed_ab, jnp.zeros((hw,), jnp.int32)])]
+               jnp.concatenate([packed_ab, jnp.zeros((hw,), jnp.int32)]),
+               jnp.concatenate([jnp.zeros((n2,), jnp.float32), rgb_packed])]
         if params.exact_conflict_arbitration:
             ops.append(jnp.concatenate(
                 [conf_idx_ab, jnp.full((hw,), INVALID_INDEX, jnp.int32)]))
         srt = jax.lax.sort([ab_key] + ops + [src_iota], num_keys=1)
         vals = [(srt[1], "mini"), (srt[2], "sum")]
         if params.exact_conflict_arbitration:
-            vals.append((srt[3], "mini"))
+            vals.append((srt[4], "mini"))
         red = _seg_prefix(srt[0] >> 1, vals)
-        restored = jax.lax.sort([srt[-1]] + red, num_keys=1)
+        # Broadcast order fixes the restored layout: [mini, sum, rgb(,conf)]
+        bc = _seg_broadcast_last(srt[0] >> 1,
+                                 red[:2] + [srt[3]] + red[2:])
+        restored = jax.lax.sort([srt[-1]] + bc, num_keys=1)
+        sup_own_ab = restored[1][:n2]
         supporting_surfels = combine_min(restored[1][n2:])
+        counts_ab = (restored[2][:n2] >> SUM_BITS).astype(jnp.float32)
         packed = combine_add(restored[2][n2:])
+        rgb_ab = restored[3][:n2]
         conflicting_surfels = None
         if params.exact_conflict_arbitration:
-            conflicting_surfels = combine_min(restored[3][n2:])
+            conf_own_ab = restored[4][:n2]
+            conflicting_surfels = combine_min(restored[4][n2:])
     else:
         if params.exact_conflict_arbitration:
             conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
@@ -997,35 +1052,65 @@ def _integrate_body(
     # Supporting-surfel index at the 4 adjacent pixels (regular shifts, not
     # gathers) for phases 6-7.
     sup_shift = [_shift_flat(sup_f, hw, s) for s in (-1, +1, -w, +w)]
-    # RGB packed into one f32 lane (u8 values are integers < 2^24, exact).
-    cr = color[0].reshape(hw).astype(jnp.float32)
-    cg = color[1].reshape(hw).astype(jnp.float32)
-    cb = color[2].reshape(hw).astype(jnp.float32)
-    rgb_packed = cr + cg * 256.0 + cb * 65536.0
-    post_cols = [
-        depth_post_flat,                            # 0 meas (post-blend)
-        support_counts.astype(jnp.float32),         # 1
-        sup_f,                                      # 2 supporting surfel
-        rgb_packed,                                 # 3
-    ]
     if params.exact_conflict_arbitration:
-        # 4: conflictor map; the adjacent-supporter columns don't fit under
-        # the 8-column fast-gather cliff, so they ride a separate stream.
         conflict_col = _f32bits(conflicting_surfels)
-        post_cols.append(conflict_col)
     else:
         conflict_col = jnp.zeros((hw,), jnp.float32)   # img_app tap column
-        # 4-7: adjacent supporting surfels — exactly 8 columns, so the
-        # neighbor-update candidate lookups share this one gather stream.
-        post_cols.extend(sup_shift)
-    img_post = jnp.stack(post_cols, axis=1)
-    post_a = img_post[pix_a_c]
-    post_b = img_post[pix_b_c]
-    if params.debug_stop_after <= 3:        # 3 == blending (hoisted)
-        return _dbg_return(post_a, post_b)
+    n_rows = pix_a_c.shape[0]
+    if sorted_maps:
+        # Per-candidate supporter/count/rgb(/conflict) came back from the
+        # phase-2 restore sort; only the post-blend depth (a thin lane8
+        # pair) and the adjacent-supporter columns (a pre-blend 4-wide
+        # pack, prefetchable) still need gathers — the 8-wide post-blend
+        # gather pair (the last HBM-source pair, PERF.md) is gone.
+        meas_ab = _gather_flat_lane8(
+            depth_post_flat, jnp.concatenate([pix_a_c, pix_b_c]))
+        meas_a, meas_b = meas_ab[:n_rows], meas_ab[n_rows:]
+        counts_a, counts_b = counts_ab[:n_rows], counts_ab[n_rows:]
+        rgb_a, rgb_b = rgb_ab[:n_rows], rgb_ab[n_rows:]
+        supported = sup_own_ab[:n_rows]
+        if params.exact_conflict_arbitration:
+            conf_a = conf_own_ab[:n_rows]
+            conf_b = conf_own_ab[n_rows:]
+        else:
+            conf_a = conf_b = None
+            img_supshift = jnp.stack(sup_shift, axis=1)
+            sup_a_rows = img_supshift[pix_a_c]
+        if params.debug_stop_after <= 3:    # 3 == blending (hoisted)
+            return _dbg_return(meas_ab, counts_ab, rgb_ab)
+    else:
+        post_cols = [
+            depth_post_flat,                        # 0 meas (post-blend)
+            support_counts.astype(jnp.float32),     # 1
+            sup_f,                                  # 2 supporting surfel
+            rgb_packed,                             # 3
+        ]
+        if params.exact_conflict_arbitration:
+            # 4: conflictor map; the adjacent-supporter columns don't fit
+            # under the 8-column fast-gather cliff, so they ride a
+            # separate stream.
+            post_cols.append(conflict_col)
+        else:
+            # 4-7: adjacent supporting surfels — exactly 8 columns, so the
+            # neighbor-update candidate lookups share this gather stream.
+            post_cols.extend(sup_shift)
+        img_post = jnp.stack(post_cols, axis=1)
+        post_a = img_post[pix_a_c]
+        post_b = img_post[pix_b_c]
+        meas_a, meas_b = post_a[:, 0], post_b[:, 0]
+        counts_a, counts_b = post_a[:, 1], post_b[:, 1]
+        rgb_a, rgb_b = post_a[:, 3], post_b[:, 3]
+        supported = _i32(post_a[:, 2])
+        if params.exact_conflict_arbitration:
+            conf_a = _i32(post_a[:, 4])
+            conf_b = _i32(post_b[:, 4])
+        else:
+            conf_a = conf_b = None
+            sup_a_rows = post_a[:, 4:8]
+        if params.debug_stop_after <= 3:    # 3 == blending (hoisted)
+            return _dbg_return(post_a, post_b)
 
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
-    supported = _i32(post_a[:, 2])
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
     # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
     # (measured fast-gather requirements, PERF.md).  Gathers by global
@@ -1106,26 +1191,25 @@ def _integrate_body(
 
     # --- Phase 5: Integrate measurements (kernels.cu:741-1142) ------------
     # Measurement geometry (unprojected global point, rotated normal, color)
-    # is recomputed per surfel from the thin post_a/post_b rows + the
+    # is recomputed per surfel from the thin per-candidate streams + the
     # already-gathered pre rows: elementwise VPU work is ~free next to the
     # gather streams it replaces (4 wide row gathers -> 0).
     if params.exact_conflict_arbitration:
         sup_a = img_sup[pix_a_c]
     else:
-        sup_a = post_a[:, 4:8]
+        sup_a = sup_a_rows
 
     neighbors = state.neighbors
     nbr_dist = state.nbr_dist
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
-    def integrate_at(pack, neighbors, nbr_dist, post, pre, first, pxf, pyf,
-                     on):
-        meas = post[:, 0]
+    def integrate_at(pack, neighbors, nbr_dist, meas, counts_f, rgb, conf_i,
+                     pre, first, pxf, pyf, on):
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z)
         if params.exact_conflict_arbitration:
-            conflicting = conflicting & (_i32(post[:, 4]) == idx)
+            conflicting = conflicting & (conf_i == idx)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
@@ -1143,13 +1227,13 @@ def _integrate_body(
         g_nx = Tg[0, 0] * p_mnx + Tg[0, 1] * p_mny + Tg[0, 2] * p_mnz
         g_ny = Tg[1, 0] * p_mnx + Tg[1, 1] * p_mny + Tg[1, 2] * p_mnz
         g_nz = Tg[2, 0] * p_mnx + Tg[2, 1] * p_mny + Tg[2, 2] * p_mnz
-        m_cb = jnp.floor(post[:, 3] * (1.0 / 65536.0))
-        rem = post[:, 3] - m_cb * 65536.0
+        m_cb = jnp.floor(rgb * (1.0 / 65536.0))
+        rem = rgb - m_cb * 65536.0
         m_cg = jnp.floor(rem * (1.0 / 256.0))
         m_cr = rem - m_cg * 256.0
         geo = {"px": g_px, "py": g_py, "pz": g_pz,
                "nx": g_nx, "ny": g_ny, "nz": g_nz,
-               "counts": post[:, 1]}
+               "counts": counts_f}
         app = {"cr": m_cr, "cg": m_cg, "cb": m_cb, "radius": pre[:, 5],
                "mnx": p_mnx, "mny": p_mny, "mnz": p_mnz}
 
@@ -1228,10 +1312,12 @@ def _integrate_body(
     first_a = rows_pre_a[:, 1]
     first_b = rows_pre_b[:, 1]
     pack, neighbors, nbr_dist = integrate_at(
-        pack, neighbors, nbr_dist, post_a, rows_pre_a, first_a,
+        pack, neighbors, nbr_dist, meas_a, counts_a, rgb_a, conf_a,
+        rows_pre_a, first_a,
         px.astype(jnp.float32), py.astype(jnp.float32), base_on)
     pack, neighbors, nbr_dist = integrate_at(
-        pack, neighbors, nbr_dist, post_b, rows_pre_b, first_b,
+        pack, neighbors, nbr_dist, meas_b, counts_b, rgb_b, conf_b,
+        rows_pre_b, first_b,
         sx.astype(jnp.float32), sy.astype(jnp.float32),
         base_on & side_ok)
     _tap("pack_after_integrate", pack)
@@ -1243,7 +1329,7 @@ def _integrate_body(
     gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
     neighbors, nbr_dist = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors, nbr_dist,
-        post_a[:, 0], rows_pre_a[:, 5], sup_a, Tl, gpack)
+        meas_a, rows_pre_a[:, 5], sup_a, Tl, gpack)
     _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)

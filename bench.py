@@ -35,8 +35,7 @@ def main():
     from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
     from surfelmeshing_tpu.ops import preprocess as pp
     from surfelmeshing_tpu.ops.fusion import (FusionParams,
-                                              create_surfel_state,
-                                              integrate_frame_bucketed)
+                                              create_surfel_state)
 
     W, H = 640, 480
     SCALE = 5000.0
@@ -83,6 +82,47 @@ def main():
 
     state = jax.device_put(create_surfel_state(CAP), device)
 
+    # Per-frame inputs staged on the device up front (untimed prefetch,
+    # main.cc:891-898 analog): the axon-tunneled host pays ~ms per RPC, so
+    # the timed loop must be dispatch-only — no host math, no small
+    # transfers, ONE executable launch per frame (the fused step below).
+    offs = list(range(-K // 2, 0)) + list(range(1, K // 2 + 1))
+    others_l = [jax.device_put(jnp.stack([depths[i + o] for o in offs]),
+                               device)
+                if K // 2 <= i < NUM_FRAMES - K // 2 else None
+                for i in range(NUM_FRAMES)]
+    transforms_l = [jax.device_put(transforms_for(i), device)
+                    if K // 2 <= i < NUM_FRAMES - K // 2 else None
+                    for i in range(NUM_FRAMES)]
+    T_gl_l = [jax.device_put(
+        jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32)), device)
+        for i in range(NUM_FRAMES)]
+    T_lg_l = [jax.device_put(
+        jnp.asarray(seq.poses[i].inverse().matrix3x4().astype(np.float32)),
+        device) for i in range(NUM_FRAMES)]
+    fid_l = [jax.device_put(jnp.int32(i), device)
+             for i in range(NUM_FRAMES)]
+
+    # ONE fused executable per bucket: preprocessing + 8-phase fusion in a
+    # single launch (the reference runs one CUDA stream, main.cc's frame
+    # loop; two separate jits double the per-frame RPC latency through the
+    # tunnel — measured ~20 ms/frame of host gap vs the device time).
+    from surfelmeshing_tpu.ops.fusion import (_TPU_COMPILER_OPTIONS,
+                                              _integrate_bucketed_impl)
+
+    def _fused(state, depth, others, transforms, color, t_gl, t_lg, fid,
+               n_eff):
+        d, nrm, rad = pp.preprocess_frame(depth, others, transforms,
+                                          **pp_kwargs)
+        return _integrate_bucketed_impl(state, d, nrm, rad, color, t_gl,
+                                        t_lg, fid, params, n_eff)
+
+    fused_step = jax.jit(_fused, static_argnames=("n_eff",),
+                         donate_argnums=(0,),
+                         compiler_options=_TPU_COMPILER_OPTIONS
+                         if jax.default_backend() in ("tpu", "axon")
+                         else None)
+
     # Count-proportional shape buckets (the app's --use_shape_buckets path):
     # per-surfel streams cost O(n_eff), mirroring the reference's
     # count-sized kernel grids (cuda_surfel_reconstruction.cc:131-140).
@@ -100,20 +140,12 @@ def main():
 
     def step(state, i):
         nonlocal count_bound
-        others = jnp.stack([depths[i + off]
-                            for off in list(range(-K // 2, 0)) +
-                            list(range(1, K // 2 + 1))])
-        d, normals, radius = pp.preprocess_frame(
-            depths[i], others, transforms_for(i), **pp_kwargs)
-        T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
-        T_lg = jnp.asarray(
-            seq.poses[i].inverse().matrix3x4().astype(np.float32))
         while pending_counts and pending_counts[0].is_ready():
             count_bound = int(pending_counts.pop(0))
         count_bound += budget
-        state = integrate_frame_bucketed(
-            state, d, normals, radius, colors[i],
-            T_gl, T_lg, jnp.int32(i), params, pick_bucket(count_bound))
+        state = fused_step(state, depths[i], others_l[i], transforms_l[i],
+                           colors[i], T_gl_l[i], T_lg_l[i], fid_l[i],
+                           pick_bucket(count_bound))
         handle = state.surfel_count + 0   # state buffer is donated next call
         pending_counts.append(handle)
         try:
@@ -131,18 +163,11 @@ def main():
     # Pre-compile every bucket the timed run can touch so mid-run bucket
     # switches are cache hits (one throwaway execution per bucket on a
     # scratch state; compiles are cached by call, persistently by XLA).
-    others0 = jnp.stack([depths[lo + off]
-                         for off in list(range(-K // 2, 0)) +
-                         list(range(1, K // 2 + 1))])
-    d0, n0, r0 = pp.preprocess_frame(depths[lo], others0,
-                                     transforms_for(lo), **pp_kwargs)
-    T0 = jnp.asarray(seq.poses[lo].matrix3x4().astype(np.float32))
-    T0i = jnp.asarray(seq.poses[lo].inverse().matrix3x4().astype(np.float32))
     scratch = jax.device_put(create_surfel_state(CAP), device)
     for n_eff in range(BUCKET_STEP, CAP + BUCKET_STEP, BUCKET_STEP):
-        scratch = integrate_frame_bucketed(
-            scratch, d0, n0, r0, colors[lo], T0, T0i, jnp.int32(lo),
-            params, min(n_eff, CAP))
+        scratch = fused_step(scratch, depths[lo], others_l[lo],
+                             transforms_l[lo], colors[lo], T_gl_l[lo],
+                             T_lg_l[lo], fid_l[lo], min(n_eff, CAP))
     jax.block_until_ready(scratch)
     del scratch
 

@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Trace the bench.py fusion step and dump an xplane trace.
 
-Usage: python tools/trace_bench.py [/tmp/bench_trace]
+Usage: python tools/trace_bench.py [/tmp/bench_trace] [n_eff]
+
+With n_eff (e.g. 327680) the step runs integrate_frame_bucketed at that
+fixed bucket, matching the shapes the bucketed bench spends most frames
+in; also prints wall ms/frame over the traced region so host/dispatch
+overhead = wall - device module total.
 
 Same program as bench.py (500k cap, full preprocessing + 8-phase fusion),
 but wraps a handful of post-warmup frames in jax.profiler.trace so
@@ -15,6 +20,7 @@ sys.path.insert(0, ".")
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_trace"
+    n_eff = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -28,7 +34,8 @@ def main():
     from surfelmeshing_tpu.ops import preprocess as pp
     from surfelmeshing_tpu.ops.fusion import (FusionParams,
                                               create_surfel_state,
-                                              integrate_frame)
+                                              integrate_frame,
+                                              integrate_frame_bucketed)
 
     W, H = 640, 480
     SCALE = 5000.0
@@ -81,6 +88,10 @@ def main():
         T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
         T_lg = jnp.asarray(
             seq.poses[i].inverse().matrix3x4().astype(np.float32))
+        if n_eff:
+            return integrate_frame_bucketed(state, d, normals, radius,
+                                            colors[i], T_gl, T_lg,
+                                            jnp.int32(i), params, n_eff)
         return integrate_frame(state, d, normals, radius, colors[i],
                                T_gl, T_lg, jnp.int32(i), params)
 
@@ -89,10 +100,14 @@ def main():
         state = step(state, i)
     jax.block_until_ready(state)
 
+    import time
+    t0 = time.perf_counter()
     with jax.profiler.trace(out):
         for i in range(lo + WARMUP, lo + WARMUP + TRACE_N):
             state = step(state, i)
         jax.block_until_ready(state)
+    wall = (time.perf_counter() - t0) / TRACE_N
+    print(f"wall: {wall*1e3:.1f} ms/frame over {TRACE_N} traced frames")
     print("trace written to", out, f"({TRACE_N} frames)")
 
 

@@ -350,10 +350,14 @@ def run(cfg: SurfelMeshingConfig) -> int:
                 # Snapshot pacing: only when the mesher is idle or about to
                 # finish (main.cc:1235-1254).
                 if mesher.idle() or frame_index == end_frame - half_window - 1:
-                    mesher.submit(*pipe.snapshot(), frame_index)
+                    mesher.submit_snapshot(
+                        pipe.snapshot_for_meshing(frame_index),
+                        frame_index)
             else:
                 # Synchronous meshing inline each frame (main.cc:1343-1389).
-                mesher.submit(*pipe.snapshot(), frame_index)
+                mesher.submit_snapshot(
+                    pipe.snapshot_for_meshing(frame_index),
+                    frame_index)
                 mesher.drain()
                 if cfg.full_meshing_every_frame:
                     mesher.engine.full_retriangulation()
@@ -381,8 +385,18 @@ def run(cfg: SurfelMeshingConfig) -> int:
         if frame_index % stats_interval == 0:
             pipe.block_until_ready()
             tri = mesher.engine.triangle_count if mesher else 0
-            logger.info("frame %d: %d surfels, %d triangles", frame_index,
-                        pipe.surfel_count(), tri)
+            if cfg.active_surfel_budget:
+                # Silent-quality-loss counter for active-set tiling: tiles
+                # skipped because the working set was full (their surfels
+                # went stale for the frame).
+                logger.info(
+                    "frame %d: %d surfels, %d triangles, %d skipped tiles "
+                    "(budget %d)", frame_index, pipe.surfel_count(), tri,
+                    int(pipe.state.skipped_tile_count),
+                    pipe.active_budget())
+            else:
+                logger.info("frame %d: %d surfels, %d triangles",
+                            frame_index, pipe.surfel_count(), tri)
         if cfg.step_by_step_playback:
             action = _terminal_controls(cfg, pipe, mesher, frame_index,
                                         input_pose, recorded_keyframes)
@@ -410,6 +424,12 @@ def run(cfg: SurfelMeshingConfig) -> int:
                      "dropped — increase --max_surfel_count", overflow)
     logger.info("done: %d surfels, fps target hit %d / missed %d",
                 pipe.surfel_count(), frame_count_hits, frame_count_misses)
+    if cfg.active_surfel_budget:
+        skipped = int(pipe.state.skipped_tile_count)
+        log = logger.warning if skipped else logger.info
+        log("active-set tiling: %d tiles skipped over the run%s", skipped,
+            " — stale surfels / duplicate creations possible; raise "
+            "--active_surfel_budget" if skipped else "")
     logger.info("%s", pipe.timing.report())
 
     # Post-processing terminal controls (main.cc:1550: show_result &&
@@ -427,7 +447,8 @@ def run(cfg: SurfelMeshingConfig) -> int:
         # (main.cc:1247-1254).
         if last_frame is not None:
             mesher.drain()
-            mesher.submit(*pipe.snapshot(), last_frame)
+            mesher.submit_snapshot(pipe.snapshot_for_meshing(last_frame),
+                                   last_frame)
         mesher.finish(full_retriangulation=cfg.full_retriangulation_at_end)
         logger.info("final mesh: %d triangles", mesher.engine.triangle_count)
         if live_viewer is not None:

@@ -98,11 +98,12 @@ class SurfelMeshingConfig:
     visualize_radii: bool = False
     visualize_surfel_normals: bool = False
     log_timings: Optional[str] = None
-    # With --log_timings: measure real per-phase device times by running
-    # cumulative-prefix fusion programs (debug_stop_after=k) and differencing
-    # blocked wall times — the XLA analog of the reference's per-phase
-    # cudaEvents (cuda_surfel_reconstruction.cc:112-320).  ~8x fusion cost
-    # per frame; diagnostic mode.
+    # With --log_timings: measure real per-phase device times by running one
+    # probe step per frame under jax.profiler.trace and attributing device
+    # op durations to the reference's columns via the sm_* named scopes
+    # (utils/stage_trace.py) — the XLA analog of the reference's per-phase
+    # cudaEvents (cuda_surfel_reconstruction.cc:112-320).  ~2x fusion cost
+    # per frame plus trace parse; diagnostic mode.
     log_timings_staged: bool = False
     profile_dir: Optional[str] = None   # jax.profiler trace output (TPU-side
                                         # analog of the reference's cudaEvent
@@ -111,6 +112,12 @@ class SurfelMeshingConfig:
     # tracks the live map size instead of max_surfel_count.  Worth it on
     # locally-attached TPUs; each bucket costs one (cacheable) compile.
     use_shape_buckets: bool = False
+    # Ship only changed surfel rows (index + payload) to the meshing
+    # engine instead of the full map each snapshot — the logical end of the
+    # reference's partial row downloads (cuda_surfel_reconstruction.cc:
+    # 348-358).  Identical meshing results (the engine diffs either way);
+    # off = always full snapshots.
+    delta_surfel_transfer: bool = True
     # Active-set tiling: per-frame fusion gathers a working set of at most
     # this many surfels (the tiles holding in-view / recently-updated /
     # frontier surfels) so cost tracks the visible set, not the capacity
@@ -144,6 +151,9 @@ class SurfelMeshingConfig:
         if self.active_surfel_budget and self.use_shape_buckets:
             raise ValueError("active_surfel_budget and use_shape_buckets "
                              "are mutually exclusive")
+        if self.active_surfel_budget < -1:
+            raise ValueError("active_surfel_budget must be -1 (auto), 0 "
+                             "(off), or a positive working-set size")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -261,16 +271,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_timings", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--log_timings_staged", action="store_true",
-                   help="with --log_timings: measure real per-phase device "
-                        "times via cumulative-prefix programs (~8x fusion "
-                        "cost; diagnostic)")
+                   help="with --log_timings: trace-extract real per-phase "
+                        "device times from a profiled probe step per frame "
+                        "(~2x fusion cost; diagnostic)")
+    p.add_argument("--no_delta_surfel_transfer", action="store_true",
+                   help="always ship FULL surfel snapshots to the meshing "
+                        "engine instead of changed rows only")
     p.add_argument("--use_shape_buckets", action="store_true",
                    help="compile the fusion step per power-of-2 surfel-count "
                         "bucket (TPU-specific; no reference equivalent)")
     p.add_argument("--active_surfel_budget", type=int,
                    default=d.active_surfel_budget,
                    help="active-set tiling working-set size in surfels; "
-                        "0 = off (TPU-specific; no reference equivalent)")
+                        "0 = off, -1 = auto-size to ~2x the live count on "
+                        "a power-of-2 ladder (TPU-specific; no reference "
+                        "equivalent)")
     p.add_argument("--live_viewer", type=int, default=0, metavar="PORT",
                    help="serve the live WebGL viewer on this port (0=off)")
     p.add_argument("--save_checkpoint", type=str, default=None,
@@ -373,6 +388,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         log_timings_staged=args.log_timings_staged,
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
+        delta_surfel_transfer=not args.no_delta_surfel_transfer,
         active_surfel_budget=args.active_surfel_budget,
         live_viewer_port=args.live_viewer,
         save_checkpoint=args.save_checkpoint,

@@ -36,9 +36,9 @@ def load_checkpoint(path: str):
     for name in SurfelState._fields:
         if name in data:
             fields[name] = jnp.asarray(data[name])
-        elif name == "nbr_dist":   # field added after the checkpoint
-            fields[name] = jnp.full(data["neighbors"].shape, jnp.inf,
-                                    jnp.float32)
         else:
+            # Scalar counters added in later minor revisions default to 0;
+            # array-layout changes bump _FORMAT_VERSION and are rejected
+            # above (no migration path).
             fields[name] = jnp.zeros((), jnp.int32)
     return SurfelState(**fields), int(data["frame_index"])

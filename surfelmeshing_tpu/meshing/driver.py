@@ -32,15 +32,21 @@ class MeshingDriver:
                 long_edge_tolerance_factor=config.long_edge_tolerance_factor,
                 regularization_frame_window_size=(
                     config.regularization_frame_window_size),
+                # --max_surfels_per_node: the reference octree's density
+                # knob (main.cc:480-484); here it scales the hash-grid
+                # auto cell size (meshing_engine.h MeshingConfig).
+                max_surfels_per_node=config.max_surfels_per_node,
             )
         self.engine = MeshingEngine(**kwargs)
         self._log_timings = log_timings
         self.timings_log_lines = []
 
-        # Double-buffered input snapshot (write side swapped under the lock,
-        # like CUDASurfelsCPU::WaitForLockAndSwapBuffers).
+        # Pending-snapshot queue consumed under the lock (the reference's
+        # CUDASurfelsCPU double buffer holds ONE full snapshot and lets a
+        # newer one replace it; delta snapshots must never be dropped, so
+        # this is a FIFO the consumer drains completely each iteration).
         self._input_lock = threading.Condition()
-        self._pending = None           # (positions, radii, normals, stamps, count, frame)
+        self._pending = []             # [(tagged_snapshot, frame_index)]
         self._busy = False
         self._exit = False
 
@@ -59,17 +65,22 @@ class MeshingDriver:
         """True when no meshing iteration is running/queued, or the running
         one is expected to finish soon (main.cc:1235-1246)."""
         with self._input_lock:
-            if not self._busy and self._pending is None:
+            if not self._busy and not self._pending:
                 return True
             since = time.monotonic() - self._latest_start
             return since > self._latest_duration - 0.05
 
     def submit(self, positions, radii_sq, normals, stamps, count,
                frame_index) -> None:
+        self.submit_snapshot(("full", positions, radii_sq, normals, stamps,
+                              count), frame_index)
+
+    def submit_snapshot(self, tagged, frame_index) -> None:
+        """Tagged snapshot from ReconstructionPipeline.snapshot_for_meshing:
+        ("full", pos, rad, nrm, stamps, count) or
+        ("delta", indices, pos, rad, nrm, stamps, total_count)."""
         with self._input_lock:
-            self._pending = (np.asarray(positions), np.asarray(radii_sq),
-                             np.asarray(normals), np.asarray(stamps),
-                             count, frame_index)
+            self._pending.append((tagged, frame_index))
             self._input_lock.notify_all()
 
     def get_output(self):
@@ -88,20 +99,35 @@ class MeshingDriver:
     def _loop(self):
         while True:
             with self._input_lock:
-                while self._pending is None and not self._exit:
+                while not self._pending and not self._exit:
                     self._input_lock.wait()
                 if self._exit:
                     return
-                snapshot = self._pending
-                self._pending = None
+                batch = self._pending
+                self._pending = []
                 self._busy = True
                 self._latest_start = time.monotonic()
 
-            positions, radii_sq, normals, stamps, count, frame_index = snapshot
             t0 = time.monotonic()
-            self.engine.integrate(frame_index, positions[:count],
-                                  radii_sq[:count], normals[:count],
-                                  stamps[:count])
+            for tagged, frame_index in batch:
+                if tagged[0] == "full":
+                    _, positions, radii_sq, normals, stamps, count = tagged
+                    count = int(count)
+                    self.engine.integrate(
+                        frame_index, np.asarray(positions)[:count],
+                        np.asarray(radii_sq)[:count],
+                        np.asarray(normals)[:count],
+                        np.asarray(stamps)[:count])
+                else:
+                    (_, indices, positions, radii_sq, normals, stamps,
+                     count) = tagged
+                    count = int(count)
+                    self.engine.integrate_delta(
+                        frame_index, np.asarray(indices),
+                        np.asarray(positions), np.asarray(radii_sq),
+                        np.asarray(normals), np.asarray(stamps), count)
+            frame_index = batch[-1][1]
+            count = int(self.engine.surfel_count)
             t1 = time.monotonic()
             self.engine.check_remeshing()
             t2 = time.monotonic()
@@ -135,7 +161,7 @@ class MeshingDriver:
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             with self._input_lock:
-                if self._pending is None and not self._busy:
+                if not self._pending and not self._busy:
                     return
             time.sleep(0.005)
 

@@ -36,10 +36,14 @@ def _load_library() -> ctypes.CDLL:
 
     lib.smt_create.restype = ctypes.c_void_p
     lib.smt_create.argtypes = [ctypes.c_float] * 5 + [ctypes.c_int,
-                                                      ctypes.c_float]
+                                                      ctypes.c_float,
+                                                      ctypes.c_int]
     lib.smt_destroy.argtypes = [ctypes.c_void_p]
     lib.smt_integrate.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_uint, f32p, f32p, f32p, u32p]
+    lib.smt_integrate_delta.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_uint, u32p, f32p, f32p,
+                                        f32p, u32p, ctypes.c_uint]
     lib.smt_check_remeshing.argtypes = [ctypes.c_void_p]
     lib.smt_triangulate.argtypes = [ctypes.c_void_p]
     lib.smt_full_retriangulation.argtypes = [ctypes.c_void_p]
@@ -89,7 +93,8 @@ class MeshingEngine:
                  max_neighbor_search_range_increase_factor: float = 2.0,
                  long_edge_tolerance_factor: float = 1.5,
                  regularization_frame_window_size: int = 30,
-                 cell_size: float = 0.0):
+                 cell_size: float = 0.0,
+                 max_surfels_per_node: int = 50):
         self._lib = _load_library()
         d = math.pi / 180.0
         self._handle = self._lib.smt_create(
@@ -99,7 +104,8 @@ class MeshingEngine:
             max_neighbor_search_range_increase_factor,
             long_edge_tolerance_factor,
             regularization_frame_window_size,
-            cell_size)
+            cell_size,
+            max_surfels_per_node)
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -117,6 +123,24 @@ class MeshingEngine:
         self._lib.smt_integrate(self._handle, frame_index, n,
                                 _f32p(positions), _f32p(radii_sq),
                                 _f32p(normals), _u32p(stamps))
+
+    def integrate_delta(self, frame_index: int, indices: np.ndarray,
+                        positions: np.ndarray, radii_sq: np.ndarray,
+                        normals: np.ndarray, stamps: np.ndarray,
+                        total_surfel_count: int) -> None:
+        """Apply only the changed rows (ascending indices; appended rows
+        must arrive dense).  See IntegrateSnapshotDelta in the native
+        engine; the device-side producer is fusion.meshing_snapshot_delta."""
+        m = indices.shape[0]
+        indices = np.ascontiguousarray(indices, np.uint32)
+        positions = np.ascontiguousarray(positions, np.float32)
+        radii_sq = np.ascontiguousarray(radii_sq, np.float32)
+        normals = np.ascontiguousarray(normals, np.float32)
+        stamps = np.ascontiguousarray(stamps, np.uint32)
+        self._lib.smt_integrate_delta(self._handle, frame_index, m,
+                                      _u32p(indices), _f32p(positions),
+                                      _f32p(radii_sq), _f32p(normals),
+                                      _u32p(stamps), total_surfel_count)
 
     def check_remeshing(self) -> None:
         self._lib.smt_check_remeshing(self._handle)

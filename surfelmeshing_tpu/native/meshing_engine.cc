@@ -118,7 +118,96 @@ float MeshingEngine::AutoCellSize(u32 count, const float* radii_sq) const {
   std::nth_element(valid.begin(), valid.begin() + valid.size() / 2,
                    valid.end());
   float median_r = std::sqrt(valid[valid.size() / 2]);
-  return std::max(1e-4f, 3.0f * median_r);
+  float density_scale =
+      std::cbrt(std::max(1, cfg_.node_capacity) / 50.0f);
+  return std::max(1e-4f, 3.0f * median_r * density_scale);
+}
+
+void MeshingEngine::MaybeRebuildGrid() {
+  // Re-derive the cell size when the scene scale drifts: the auto size is
+  // picked from the FIRST snapshot's median radius and would otherwise be
+  // frozen forever (the reference octree re-subdivides adaptively,
+  // octree.cc:69-262; a hash grid must rebuild instead).  Checked every
+  // 16 integrates; rebuilt only past a 2x drift so steady-state pays one
+  // O(n) median pass per 16 snapshots and nothing else.
+  if (!grid_initialized_ || surfels_.empty()) return;
+  if (++integrate_calls_ % 16 != 0) return;
+  std::vector<float> radii;
+  radii.reserve(surfels_.size());
+  for (const MeshSurfel& s : surfels_) {
+    if (s.in_grid) radii.push_back(s.radius_sq);
+  }
+  if (radii.empty()) return;
+  float want = AutoCellSize(static_cast<u32>(radii.size()), radii.data());
+  float have = grid_.cell_size();
+  if (want > 2.0f * have || want < 0.5f * have) {
+    grid_.Rebuild(want, surfels_.size(),
+                  [this](std::size_t i) { return surfels_[i].pos; });
+  }
+}
+
+void MeshingEngine::UpdateExistingSurfel(u32 slot, u32 old_frame_index,
+                                         const float* p, float radius_sq,
+                                         const float* normal, u32 stamp) {
+  MeshSurfel& s = surfels_[slot];
+  bool merged_now = radius_sq < 0;
+  if (!s.in_grid && merged_now) {
+    return;  // zombie slot
+  }
+  if (s.in_grid && merged_now) {
+    check_queue_.push_back(slot);
+  }
+
+  if (s.pos[0] != p[0] || s.pos[1] != p[1] || s.pos[2] != p[2]) {
+    if (s.in_grid) grid_.Move(slot, p);
+    s.pos[0] = p[0];
+    s.pos[1] = p[1];
+    s.pos[2] = p[2];
+    // Queue meshing work only when the surfel was observed or is inside
+    // the regularization window — loop-closure-only motion does not
+    // trigger remeshing (surfel_meshing.cc:226-240).
+    if (stamp > s.stamp ||
+        static_cast<int>(old_frame_index) - static_cast<int>(s.stamp) <=
+            cfg_.regularization_frame_window_size) {
+      if (s.state != MeshState::kCompleted) {
+        remesh_queue_.push_back(slot);
+      }
+      if (s.state != MeshState::kFree) {
+        check_queue_.push_back(slot);
+      }
+    }
+  }
+  s.radius_sq = radius_sq;
+  s.normal[0] = normal[0];
+  s.normal[1] = normal[1];
+  s.normal[2] = normal[2];
+  s.stamp = stamp;
+  s.can_remesh = true;
+  s.can_reset = true;
+}
+
+void MeshingEngine::AppendSurfel(const float* p, float radius_sq,
+                                 const float* normal, u32 stamp) {
+  u32 slot = static_cast<u32>(surfels_.size());
+  surfels_.emplace_back();
+  MeshSurfel& s = surfels_.back();
+  s.pos[0] = p[0];
+  s.pos[1] = p[1];
+  s.pos[2] = p[2];
+  s.radius_sq = radius_sq;
+  s.normal[0] = normal[0];
+  s.normal[1] = normal[1];
+  s.normal[2] = normal[2];
+  s.stamp = stamp;
+  s.can_remesh = true;
+  s.can_reset = false;
+  if (s.radius_sq < 0) {
+    s.in_grid = false;
+    ++merged_count_;
+  } else {
+    grid_.Insert(slot, s.pos);
+    s.in_grid = true;
+  }
 }
 
 void MeshingEngine::IntegrateSnapshot(int frame_index, u32 surfel_count,
@@ -137,42 +226,9 @@ void MeshingEngine::IntegrateSnapshot(int frame_index, u32 surfel_count,
   // Update existing surfels.
   std::size_t existing = std::min<std::size_t>(surfels_.size(), surfel_count);
   for (std::size_t i = 0; i < existing; ++i) {
-    MeshSurfel& s = surfels_[i];
-    bool merged_now = radii_sq[i] < 0;
-    if (!s.in_grid && merged_now) {
-      continue;  // zombie slot
-    }
-    if (s.in_grid && merged_now) {
-      check_queue_.push_back(static_cast<u32>(i));
-    }
-
-    const float* p = positions + 3 * i;
-    if (s.pos[0] != p[0] || s.pos[1] != p[1] || s.pos[2] != p[2]) {
-      if (s.in_grid) grid_.Move(static_cast<u32>(i), p);
-      s.pos[0] = p[0];
-      s.pos[1] = p[1];
-      s.pos[2] = p[2];
-      // Queue meshing work only when the surfel was observed or is inside
-      // the regularization window — loop-closure-only motion does not
-      // trigger remeshing (surfel_meshing.cc:226-240).
-      if (stamps[i] > s.stamp ||
-          static_cast<int>(old_frame_index) - static_cast<int>(s.stamp) <=
-              cfg_.regularization_frame_window_size) {
-        if (s.state != MeshState::kCompleted) {
-          remesh_queue_.push_back(static_cast<u32>(i));
-        }
-        if (s.state != MeshState::kFree) {
-          check_queue_.push_back(static_cast<u32>(i));
-        }
-      }
-    }
-    s.radius_sq = radii_sq[i];
-    s.normal[0] = normals[3 * i];
-    s.normal[1] = normals[3 * i + 1];
-    s.normal[2] = normals[3 * i + 2];
-    s.stamp = stamps[i];
-    s.can_remesh = true;
-    s.can_reset = true;
+    UpdateExistingSurfel(static_cast<u32>(i), old_frame_index,
+                         positions + 3 * i, radii_sq[i], normals + 3 * i,
+                         stamps[i]);
   }
 
   first_new_surfel_ = surfels_.size();
@@ -185,26 +241,47 @@ void MeshingEngine::IntegrateSnapshot(int frame_index, u32 surfel_count,
 
   // Append new surfels.
   for (std::size_t i = surfels_.size(); i < surfel_count; ++i) {
-    surfels_.emplace_back();
-    MeshSurfel& s = surfels_.back();
-    s.pos[0] = positions[3 * i];
-    s.pos[1] = positions[3 * i + 1];
-    s.pos[2] = positions[3 * i + 2];
-    s.radius_sq = radii_sq[i];
-    s.normal[0] = normals[3 * i];
-    s.normal[1] = normals[3 * i + 1];
-    s.normal[2] = normals[3 * i + 2];
-    s.stamp = stamps[i];
-    s.can_remesh = true;
-    s.can_reset = false;
-    if (s.radius_sq < 0) {
-      s.in_grid = false;
-      ++merged_count_;
-    } else {
-      grid_.Insert(static_cast<u32>(i), s.pos);
-      s.in_grid = true;
-    }
+    AppendSurfel(positions + 3 * i, radii_sq[i], normals + 3 * i, stamps[i]);
   }
+  MaybeRebuildGrid();
+}
+
+void MeshingEngine::IntegrateSnapshotDelta(int frame_index, u32 n_rows,
+                                           const u32* indices,
+                                           const float* positions,
+                                           const float* radii_sq,
+                                           const float* normals,
+                                           const std::uint32_t* stamps,
+                                           u32 total_surfel_count) {
+  if (!grid_initialized_ && n_rows > 0) {
+    grid_.SetCellSize(AutoCellSize(n_rows, radii_sq));
+    grid_initialized_ = true;
+  }
+
+  u32 old_frame_index = frame_index_;
+  frame_index_ = static_cast<u32>(frame_index);
+  first_new_surfel_ = surfels_.size();
+
+  if (surfels_.capacity() < total_surfel_count) {
+    surfels_.reserve(
+        std::max<std::size_t>(3000000, 2ul * total_surfel_count));
+    tris_.reserve(static_cast<std::size_t>(2.1 * surfels_.capacity()));
+  }
+  grid_.Reserve(total_surfel_count);
+
+  for (u32 j = 0; j < n_rows; ++j) {
+    u32 i = indices[j];
+    if (i < surfels_.size()) {
+      UpdateExistingSurfel(i, old_frame_index, positions + 3 * j,
+                           radii_sq[j], normals + 3 * j, stamps[j]);
+    } else if (i == surfels_.size()) {
+      AppendSurfel(positions + 3 * j, radii_sq[j], normals + 3 * j,
+                   stamps[j]);
+    }
+    // i > size would mean the producer dropped a new row; ignore — the
+    // row arrives with the next (full or larger-bucket) snapshot.
+  }
+  MaybeRebuildGrid();
 }
 
 int MeshingEngine::FindNeighbors(const float* pos, float radius_sq,
@@ -1372,7 +1449,8 @@ void* smt_create(float max_angle_between_normals, float min_triangle_angle,
                  float max_triangle_angle,
                  float max_neighbor_search_range_increase_factor,
                  float long_edge_tolerance_factor,
-                 int regularization_frame_window_size, float cell_size) {
+                 int regularization_frame_window_size, float cell_size,
+                 int node_capacity) {
   smt::MeshingConfig cfg;
   cfg.max_angle_between_normals = max_angle_between_normals;
   cfg.min_triangle_angle = min_triangle_angle;
@@ -1382,6 +1460,7 @@ void* smt_create(float max_angle_between_normals, float min_triangle_angle,
   cfg.long_edge_tolerance_factor = long_edge_tolerance_factor;
   cfg.regularization_frame_window_size = regularization_frame_window_size;
   cfg.cell_size = cell_size;
+  if (node_capacity > 0) cfg.node_capacity = node_capacity;
   return new smt::MeshingEngine(cfg);
 }
 
@@ -1394,6 +1473,16 @@ void smt_integrate(void* engine, int frame_index, unsigned surfel_count,
                    const float* normals, const unsigned* stamps) {
   static_cast<smt::MeshingEngine*>(engine)->IntegrateSnapshot(
       frame_index, surfel_count, positions, radii_sq, normals, stamps);
+}
+
+void smt_integrate_delta(void* engine, int frame_index, unsigned n_rows,
+                         const unsigned* indices, const float* positions,
+                         const float* radii_sq, const float* normals,
+                         const unsigned* stamps,
+                         unsigned total_surfel_count) {
+  static_cast<smt::MeshingEngine*>(engine)->IntegrateSnapshotDelta(
+      frame_index, n_rows, indices, positions, radii_sq, normals, stamps,
+      total_surfel_count);
 }
 
 void smt_check_remeshing(void* engine) {

@@ -53,6 +53,12 @@ struct MeshingConfig {
   float long_edge_tolerance_factor = 1.5f;
   int regularization_frame_window_size = 30;
   float cell_size = 0.0f;  // 0 = auto from first snapshot's median radius
+  // Analog of the reference octree's --max_surfels_per_node (main.cc:
+  // 480-484): the density knob of the spatial index.  Scales the auto cell
+  // size by cbrt(node_capacity / 50) — a cell holds ~(cell/ (r*sqrt(2)))^2
+  // surfels of radius r on a surface, so the reference default of 50
+  // corresponds to the 3*median_radius auto size.
+  int node_capacity = 50;
 };
 
 class MeshingEngine {
@@ -69,6 +75,20 @@ class MeshingEngine {
                          const float* radii_sq,      // (N,)
                          const float* normals,       // (N, 3)
                          const std::uint32_t* stamps);  // (N,)
+
+  // Delta variant: apply only the changed rows (ascending surfel indices;
+  // every index >= the current size must arrive, in order, so appends stay
+  // dense).  Mirrors the reference's partial row downloads
+  // (cuda_surfel_reconstruction.cc:348-358) taken to its logical end: the
+  // device ships index + payload for rows whose stamp/merge state changed,
+  // instead of the whole map (the mesher diffs anyway).
+  void IntegrateSnapshotDelta(int frame_index, u32 n_rows,
+                              const u32* indices,       // (M,)
+                              const float* positions,   // (M, 3)
+                              const float* radii_sq,    // (M,)
+                              const float* normals,     // (M, 3)
+                              const std::uint32_t* stamps,  // (M,)
+                              u32 total_surfel_count);
 
   // Delete triangles invalidated by new/moved/merged surfels
   // (reference: CheckRemeshing, surfel_meshing.cc:537-665).
@@ -123,6 +143,11 @@ class MeshingEngine {
     float end_uv[2];
   };
 
+  void UpdateExistingSurfel(u32 slot, u32 old_frame_index, const float* p,
+                            float radius_sq, const float* normal, u32 stamp);
+  void MaybeRebuildGrid();
+  void AppendSurfel(const float* p, float radius_sq, const float* normal,
+                    u32 stamp);
   void TriangulateOne(u32 surfel_index, bool no_resets);
   void RemeshTrianglesAround(u32 surfel_index, float radius_sq);
   void DeleteTriangle(u32 triangle_index, u32 skip_surfel);
@@ -154,6 +179,7 @@ class MeshingEngine {
   bool grid_initialized_ = false;
 
   u32 frame_index_ = 0;
+  u32 integrate_calls_ = 0;
   std::size_t first_new_surfel_ = 0;
   std::size_t merged_count_ = 0;
   std::size_t deleted_triangle_count_ = 0;

@@ -243,6 +243,13 @@ class FusionParams:
     #   False: three .at[].min/.add scatter streams (scalar-unit bound,
     #          ~143M updates/s -> ~7 ms per stream at 1M candidates).
     sorted_pixel_maps: bool = True
+    # Mega-sort consolidation (round-3 lever): ONE key sort + ONE restore
+    # sort per frame build the three pixel maps AND deliver every
+    # per-candidate pixel value, with association flags computed in the
+    # sorted domain (the per-pixel dummy's image columns broadcast over
+    # its run).  Only applies when the other static conditions hold (see
+    # mega_sort gating in _integrate_body); bit-exact vs the 2-sort path.
+    mega_sort: bool = True
     # Neighbor update (phase 6) slot handling:
     #   True  (TPU-native default): existing-slot distances come from the
     #          stored state.nbr_dist column (written at creation, candidate
@@ -609,9 +616,12 @@ def _integrate_bucketed_impl(
 ) -> SurfelState:
     n = state.pack.shape[0]
     if n_eff >= n:
-        return _integrate_body(state, depth, normals_xy, radius_img, color,
-                               global_T_local, local_T_global, frame_index,
-                               params)
+        # Full-shape bucket: route through the dispatch so active-set
+        # tiling still applies (a direct _integrate_body here silently
+        # disabled --active_surfel_budget on the app path).
+        return _integrate_dispatch(state, depth, normals_xy, radius_img,
+                                   color, global_T_local, local_T_global,
+                                   frame_index, params)
     sub = state._replace(pack=state.pack[:n_eff],
                          neighbors=state.neighbors[:, :n_eff],
                          nbr_dist=state.nbr_dist[:, :n_eff])
@@ -712,6 +722,28 @@ def _seg_broadcast_last(sk, vals):
                           v) for v in vals]
         shift *= 2
     return vals
+
+
+class _StageScopes:
+    """Sequential jax.named_scope sections without re-indenting the phase
+    code: calling the instance with a stage name closes the previous scope
+    and opens `sm_<name>`; calling with None closes the current one.  The
+    scope names land in HLO metadata op_name (CPU) / the xplane tf_op stat
+    (TPU), which is how utils/stage_trace.py attributes traced device time
+    to the reference's --log_timings columns (main.cc:1531-1545) — the XLA
+    analog of the reference's per-phase cudaEvent brackets
+    (cuda_surfel_reconstruction.cc:112-320)."""
+
+    def __init__(self):
+        self._cm = None
+
+    def __call__(self, name):
+        if self._cm is not None:
+            self._cm.__exit__(None, None, None)
+            self._cm = None
+        if name is not None:
+            self._cm = jax.named_scope("sm_" + name)
+            self._cm.__enter__()
 
 
 def _gather_flat_lane8(src_flat, idx):
@@ -831,14 +863,38 @@ def _integrate_body(
     pix_b_c = jnp.clip(jnp.where(img_a & side_ok, sy * w + sx, 0), 0,
                        hw - 1)
 
+    stage = _StageScopes()
+
     def _dbg_return(*live):
+        stage(None)
         probe = sum(jnp.sum(jnp.ravel(t)[:1].astype(jnp.float32))
                     for t in live)
         return state._replace(
             merge_count=state.merge_count + probe.astype(jnp.int32))
 
     # --- Phase 1: RenderMinDepth (kernels.cu:1458-1557) -------------------
+    stage("data_association")
     sorted_maps = params.sorted_pixel_maps
+    # Mega-sort consolidation (PERF.md round-3 lever 1): ONE wide key sort
+    # + ONE restore sort per frame build all three per-pixel maps AND
+    # deliver every per-candidate pixel value (first-depth, measurement,
+    # normal, radius, rgb, supporter, count) — the association flags are
+    # computed in the SORTED domain, where the per-pixel dummy entry's
+    # image columns are pointer-jump broadcast over its run, so the
+    # phase-1/phase-2 sort pair collapses into one and the img_pre gather
+    # pair disappears.  Applies on the default single-device path; the
+    # two-sort path remains for sharded mode (per-candidate values must be
+    # post-combine global there), exact conflict arbitration (conflictor
+    # claims need the unsorted m_conflict flags), finite active windows
+    # (merge-eligible surfels can sit outside the candidate stream), and
+    # debug staging.  Bit-exact: same f32/i32 formulas, different storage
+    # order (tests/test_fusion.py asserts pack equality vs the 2-sort and
+    # scatter paths).
+    mega_sort = (params.mega_sort and sorted_maps and shard is None
+                 and not params.exact_conflict_arbitration
+                 and params.active_window >= 2**30
+                 and params.debug_stop_after > 8
+                 and n < 2**27)
     if sorted_maps:
         # Sort-and-segment-reduce map construction (see FusionParams).
         # NO scatter anywhere: a per-element map write of a 1M stream runs
@@ -856,6 +912,9 @@ def _integrate_body(
             jnp.where(proj_b, 2 * pix_b, 2 * hw),
             2 * jax.lax.iota(jnp.int32, hw) + 1])
         src_iota = jax.lax.iota(jnp.int32, n2 + hw)
+    if mega_sort:
+        first_depth = None        # built by the mega sort in phase 2
+    elif sorted_maps:
         aug_z = jnp.concatenate(
             [z, z, jnp.full((hw,), jnp.inf, jnp.float32)])
         sk, sz_srt, ssrc = jax.lax.sort([ab_key, aug_z, src_iota],
@@ -870,9 +929,10 @@ def _integrate_body(
         first_depth = combine_min(first_depth.at[
             jnp.concatenate([pix_a, pix_b])].min(
             jnp.concatenate([z, z]), mode="drop"))
-    _tap("first_depth", first_depth)
-    if params.debug_stop_after <= 1:
-        return _dbg_return(first_depth)
+    if not mega_sort:
+        _tap("first_depth", first_depth)
+        if params.debug_stop_after <= 1:
+            return _dbg_return(first_depth)
 
     # --- Phase 2: Associate (kernels.cu:1586-1854) ------------------------
     depth_m_flat = depth.reshape(hw).astype(jnp.float32) * inv_scale
@@ -880,10 +940,6 @@ def _integrate_body(
     mny = normals_xy[1].reshape(hw)
     mnz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - mnx * mnx - mny * mny))
     radius_flat = radius_img.reshape(hw)
-
-    # Pre-blend image pack: cols = depth_m, first_depth, mnx, mny, mnz, radius.
-    img_pre = jnp.stack(
-        [depth_m_flat, first_depth, mnx, mny, mnz, radius_flat], axis=1)
 
     snx = Tl[0, 0] * pack[:, NX] + Tl[0, 1] * pack[:, NY] + \
         Tl[0, 2] * pack[:, NZ]
@@ -895,15 +951,13 @@ def _integrate_body(
     facing_ok = ((lx * snx + ly * sny + z * snz) /
                  jnp.maximum(surfel_dist, 1e-30)) <= \
         SURFEL_NORMAL_TO_VIEWING_DIR_THRESHOLD
+    radius_col = pack[:, RAD]
 
-    rows_pre_a = img_pre[pix_a_c]          # one row-gather per stream
-    rows_pre_b = img_pre[pix_b_c]
-
-    def associate_checks(rows, on):
-        """Common per-candidate-pixel tests on gathered image rows."""
-        meas = rows[:, 0]
+    def associate_checks(meas, first, p_mnx, p_mny, p_mnz, on):
+        """Common per-candidate association tests; column args are the
+        candidate's per-pixel values (gathered rows or restore-sort
+        streams)."""
         on = on & (meas > 0)
-        first = rows[:, 1]
         conflict_zone = first < (1.0 - noise) * meas
         is_conflicting = on & conflict_zone & (first == z)
         on = on & ~conflict_zone
@@ -912,29 +966,45 @@ def _integrate_body(
         # Normal compatibility when the measurement is in front
         # (kernels.cu:1653-1668); the measurement normal is in camera space.
         compat_needed = meas < z
-        compat = (snx * rows[:, 2] + sny * rows[:, 3] + snz * rows[:, 4]) \
-            >= cos_compat
+        compat = (snx * p_mnx + sny * p_mny + snz * p_mnz) >= cos_compat
         on = on & (~compat_needed | compat)
         return on, is_conflicting
 
-    radius_col = pack[:, RAD]
-    support_a, conflict_a = associate_checks(rows_pre_a, proj_a)
-    support_b, conflict_b = associate_checks(rows_pre_b, proj_b)
-    support_a = support_a & (radius_col > 0)   # <= 0 rejected (cu:1673-1676)
-    support_b = support_b & (radius_col > 0)
+    if not mega_sort:
+        # Pre-blend image pack (cols: depth_m, first_depth, mnx, mny, mnz,
+        # radius) + one row-gather per candidate stream.  The mega path
+        # delivers the same columns from its restore sort instead.
+        img_pre = jnp.stack(
+            [depth_m_flat, first_depth, mnx, mny, mnz, radius_flat], axis=1)
+        rows_pre_a = img_pre[pix_a_c]
+        rows_pre_b = img_pre[pix_b_c]
+        pre_meas_a, pre_first_a = rows_pre_a[:, 0], rows_pre_a[:, 1]
+        pre_mnx_a, pre_mny_a, pre_mnz_a = (rows_pre_a[:, 2],
+                                           rows_pre_a[:, 3],
+                                           rows_pre_a[:, 4])
+        pre_rad_a = rows_pre_a[:, 5]
+        pre_meas_b, pre_first_b = rows_pre_b[:, 0], rows_pre_b[:, 1]
+        pre_mnx_b, pre_mny_b, pre_mnz_b = (rows_pre_b[:, 2],
+                                           rows_pre_b[:, 3],
+                                           rows_pre_b[:, 4])
+        pre_rad_b = rows_pre_b[:, 5]
 
-    # --- Phase 3 (part 1): merge checks that feed the conflict map --------
-    # The merge pass runs over all surfels with radius >= 0, not only the
-    # active window, and also marks conflicts (kernels.cu:1881-1890).
-    merge_on = in_count & (radius_col >= 0) & in_image
-    m_on, m_conflict = associate_checks(rows_pre_a, merge_on)
+        support_a, conflict_a = associate_checks(
+            pre_meas_a, pre_first_a, pre_mnx_a, pre_mny_a, pre_mnz_a,
+            proj_a)
+        support_b, conflict_b = associate_checks(
+            pre_meas_b, pre_first_b, pre_mnx_b, pre_mny_b, pre_mnz_b,
+            proj_b)
+        support_a = support_a & (radius_col > 0)   # <= 0 rejected
+        support_b = support_b & (radius_col > 0)   # (cu:1673-1676)
 
-    # Pixel-has-a-conflictor is elementwise: the conflict zone test
-    # first < (1-noise)*meas is exactly what every would-be marker passes,
-    # and the min-z surfel that wrote first_depth always evaluates it
-    # (kernels.cu:1610-1618).  The explicit min-index conflictor map is only
-    # materialized under exact_conflict_arbitration.
-    has_conflict = first_depth < (1.0 - noise) * depth_m_flat
+        # --- Phase 3 (part 1): merge checks that feed the conflict map ----
+        # The merge pass runs over all surfels with radius >= 0, not only
+        # the active window, and also marks conflicts (kernels.cu:1881-1890).
+        merge_on = in_count & (radius_col >= 0) & in_image
+        m_on, m_conflict = associate_checks(
+            pre_meas_a, pre_first_a, pre_mnx_a, pre_mny_a, pre_mnz_a,
+            merge_on)
 
     # Support count + depth sum ride ONE i32 reduction: the depth in the
     # low 25 bits as fixed point at depth-unit resolution (supporter depth
@@ -946,17 +1016,19 @@ def _integrate_body(
     # sign bit (the sum field itself is safe: 63 * (2^17-1) < 2^25; real
     # data has a handful of supporters per pixel).
     SUM_BITS = 25
-    z_units = jnp.clip(jnp.round(z * params.depth_scaling), 0,
-                       (1 << 17) - 1).astype(jnp.int32)
-    sup_idx_ab = jnp.concatenate([jnp.where(support_a, idx, INVALID_INDEX),
-                                  jnp.where(support_b, idx, INVALID_INDEX)])
-    packed_ab = jnp.concatenate([
-        jnp.where(support_a, z_units + (1 << SUM_BITS), 0),
-        jnp.where(support_b, z_units + (1 << SUM_BITS), 0)])
-    if params.exact_conflict_arbitration:
-        conf_idx_ab = jnp.concatenate([
-            jnp.where(conflict_a | m_conflict, idx, INVALID_INDEX),
-            jnp.where(conflict_b, idx, INVALID_INDEX)])
+    if not mega_sort:
+        z_units = jnp.clip(jnp.round(z * params.depth_scaling), 0,
+                           (1 << 17) - 1).astype(jnp.int32)
+        sup_idx_ab = jnp.concatenate([
+            jnp.where(support_a, idx, INVALID_INDEX),
+            jnp.where(support_b, idx, INVALID_INDEX)])
+        packed_ab = jnp.concatenate([
+            jnp.where(support_a, z_units + (1 << SUM_BITS), 0),
+            jnp.where(support_b, z_units + (1 << SUM_BITS), 0)])
+        if params.exact_conflict_arbitration:
+            conf_idx_ab = jnp.concatenate([
+                jnp.where(conflict_a | m_conflict, idx, INVALID_INDEX),
+                jnp.where(conflict_b, idx, INVALID_INDEX)])
     # RGB packed into one f32 lane (u8 values are integers < 2^24, exact);
     # computed here so the sorted path can deliver it per candidate.
     cr = color[0].reshape(hw).astype(jnp.float32)
@@ -966,7 +1038,86 @@ def _integrate_body(
     # Per-candidate streams (concat order [a; b]) delivered by the sorted
     # path below or by the legacy img_post gathers (scatter path).
     sup_own_ab = counts_ab = rgb_ab = conf_own_ab = None
-    if sorted_maps:
+    if mega_sort:
+        # ---- The mega sort (one key sort + one restore sort) ----
+        # Candidate entries carry their surfel-side values; the per-pixel
+        # dummy entries carry the pixel's image columns, overlaid into the
+        # SAME payload streams (a candidate never needs its pixel slot and
+        # vice versa).  Flag bit 27 rides above the surfel index (mega is
+        # gated on n < 2^27).
+        FLAG_ELIG = jnp.int32(1 << 27)
+        idx_flags = idx | jnp.where(facing_ok & (radius_col > 0),
+                                    FLAG_ELIG, 0)
+        zeros_n2 = jnp.zeros((n2 // 2,), jnp.float32)
+        s_in = [
+            ab_key,
+            jnp.concatenate([z, z, jnp.full((hw,), jnp.inf, jnp.float32)]),
+            jnp.concatenate([idx_flags, idx_flags,
+                             jnp.full((hw,), INVALID_INDEX, jnp.int32)]),
+            jnp.concatenate([snx, snx, mnx]),
+            jnp.concatenate([sny, sny, mny]),
+            jnp.concatenate([snz, snz, mnz]),
+            jnp.concatenate([zeros_n2, zeros_n2, depth_m_flat]),
+            jnp.concatenate([zeros_n2, zeros_n2, radius_flat]),
+            jnp.concatenate([zeros_n2, zeros_n2, rgb_packed]),
+            src_iota,
+        ]
+        (sk, z_s, idx_s, nx_s, ny_s, nz_s, meas_s, rad_s, rgb_s,
+         src_s) = jax.lax.sort(s_in, num_keys=1)
+        run_key = sk >> 1
+        # Run minimum of z -> first_depth; pixel columns broadcast from the
+        # run-end dummy over the whole run.
+        (minz_s,) = _seg_prefix(run_key, [(z_s, "minf")])
+        first_s, mnx_s, mny_s, mnz_s, measb_s, radb_s, rgbb_s = \
+            _seg_broadcast_last(run_key, [minz_s, nx_s, ny_s, nz_s,
+                                          meas_s, rad_s, rgb_s])
+        # Association flags IN the sorted domain (same formulas as
+        # associate_checks; dummies and sentinel-run entries excluded by
+        # is_cand).  nx_s.. hold the candidate's surfel normal; mnx_s..
+        # the broadcast pixel normal.
+        is_cand = ((sk & 1) == 0) & (sk < 2 * hw)
+        s_on = is_cand & (measb_s > 0)
+        s_on = s_on & ~(first_s < (1.0 - noise) * measb_s)
+        s_on = s_on & ~(z_s > (1.0 + noise) * measb_s)
+        s_on = s_on & ((idx_s & FLAG_ELIG) != 0)
+        compat_s = (nx_s * mnx_s + ny_s * mny_s + nz_s * mnz_s) >= \
+            cos_compat
+        s_on = s_on & (~(measb_s < z_s) | compat_s)
+        own_s = idx_s & (FLAG_ELIG - 1)
+        zu_s = jnp.clip(jnp.round(z_s * params.depth_scaling), 0,
+                        (1 << 17) - 1).astype(jnp.int32)
+        sup_val = jnp.where(s_on, own_s, INVALID_INDEX)
+        packed_val = jnp.where(s_on, zu_s + (1 << SUM_BITS), 0)
+        sup_red, packed_red = _seg_prefix(
+            run_key, [(sup_val, "mini"), (packed_val, "sum")])
+        supb_s, packedb_s = _seg_broadcast_last(run_key,
+                                                [sup_red, packed_red])
+        restored = jax.lax.sort(
+            [src_s, first_s, supb_s, packedb_s, mnx_s, mny_s, mnz_s,
+             measb_s, radb_s, rgbb_s], num_keys=1)
+        (_, r_first, r_sup, r_packed, r_mnx, r_mny, r_mnz, r_meas, r_rad,
+         r_rgb) = restored
+        first_depth = r_first[n2:]
+        supporting_surfels = r_sup[n2:]
+        packed = r_packed[n2:]
+        conflicting_surfels = None
+        sup_own_ab = r_sup[:n2]
+        counts_ab = (r_packed[:n2] >> SUM_BITS).astype(jnp.float32)
+        rgb_ab = r_rgb[:n2]
+        nr = n2 // 2
+        pre_meas_a, pre_meas_b = r_meas[:nr], r_meas[nr:n2]
+        pre_first_a, pre_first_b = r_first[:nr], r_first[nr:n2]
+        pre_mnx_a, pre_mnx_b = r_mnx[:nr], r_mnx[nr:n2]
+        pre_mny_a, pre_mny_b = r_mny[:nr], r_mny[nr:n2]
+        pre_mnz_a, pre_mnz_b = r_mnz[:nr], r_mnz[nr:n2]
+        pre_rad_a, pre_rad_b = r_rad[:nr], r_rad[nr:n2]
+        _tap("first_depth", first_depth)
+        # --- Phase 3 (part 1): merge checks (see the non-mega branch) -----
+        merge_on = in_count & (radius_col >= 0) & in_image
+        m_on, m_conflict = associate_checks(
+            pre_meas_a, pre_first_a, pre_mnx_a, pre_mny_a, pre_mnz_a,
+            merge_on)
+    elif sorted_maps:
         # Second sort with the SAME augmented keys (support flags depend on
         # first_depth, so the phase-2 payloads don't exist at the first
         # sort); a second sort measures cheaper than gathering the payloads
@@ -992,15 +1143,38 @@ def _integrate_body(
         bc = _seg_broadcast_last(srt[0] >> 1,
                                  red[:2] + [srt[3]] + red[2:])
         restored = jax.lax.sort([srt[-1]] + bc, num_keys=1)
-        sup_own_ab = restored[1][:n2]
         supporting_surfels = combine_min(restored[1][n2:])
-        counts_ab = (restored[2][:n2] >> SUM_BITS).astype(jnp.float32)
         packed = combine_add(restored[2][n2:])
         rgb_ab = restored[3][:n2]
         conflicting_surfels = None
         if params.exact_conflict_arbitration:
-            conf_own_ab = restored[4][:n2]
             conflicting_surfels = combine_min(restored[4][n2:])
+        if shard is None:
+            sup_own_ab = restored[1][:n2]
+            counts_ab = (restored[2][:n2] >> SUM_BITS).astype(jnp.float32)
+            if params.exact_conflict_arbitration:
+                conf_own_ab = restored[4][:n2]
+        else:
+            # The restore-sort's per-candidate values reduce only THIS
+            # shard's candidate stream; the per-candidate contract is the
+            # GLOBAL per-pixel reduction (the reference's atomics produce
+            # one global map, kernels.cu:1691-1694).  Re-gather them from
+            # the ICI-combined maps, masked exactly like the sorted-domain
+            # values (masked candidates ride the sentinel run and come
+            # back INVALID / 0).
+            ab_mask = jnp.concatenate([proj_a, proj_b])
+            pix_ab = jnp.concatenate([pix_a_c, pix_b_c])
+            sup_own_ab = jnp.where(
+                ab_mask, _gather_flat_lane8(supporting_surfels, pix_ab),
+                INVALID_INDEX)
+            counts_ab = jnp.where(
+                ab_mask, _gather_flat_lane8(packed, pix_ab) >> SUM_BITS,
+                0).astype(jnp.float32)
+            if params.exact_conflict_arbitration:
+                conf_own_ab = jnp.where(
+                    ab_mask,
+                    _gather_flat_lane8(conflicting_surfels, pix_ab),
+                    INVALID_INDEX)
     else:
         if params.exact_conflict_arbitration:
             conflicting_surfels = jnp.full((hw,), INVALID_INDEX, jnp.int32)
@@ -1023,6 +1197,12 @@ def _integrate_body(
     support_counts = packed >> SUM_BITS
     support_depth_sums = (packed & ((1 << SUM_BITS) - 1)).astype(
         jnp.float32) * inv_scale
+    # Pixel-has-a-conflictor is elementwise: the conflict zone test
+    # first < (1-noise)*meas is exactly what every would-be marker passes,
+    # and the min-z surfel that wrote first_depth always evaluates it
+    # (kernels.cu:1610-1618).  The explicit min-index conflictor map is only
+    # materialized under exact_conflict_arbitration.
+    has_conflict = first_depth < (1.0 - noise) * depth_m_flat
     _tap("supporting_surfels", supporting_surfels)
     _tap("support_counts", support_counts)
     _tap("support_depth_sums", support_depth_sums)
@@ -1031,6 +1211,7 @@ def _integrate_body(
         return _dbg_return(first_depth, supporting_surfels, support_counts,
                            support_depth_sums, has_conflict)
 
+    stage("measurement_blending")
     # --- Phase 4 (hoisted): Measurement blending (kernels.cu:563-738) -----
     # Blending has no data dependency on the merge pass (it reads only the
     # phase-2 maps and the raw depth; merge mutates only the pack), so it
@@ -1048,6 +1229,7 @@ def _integrate_body(
         depth_post_flat = depth_m_flat
     _tap("blended_depth", depth)
 
+    stage("integration")
     sup_f = _f32bits(supporting_surfels)
     # Supporting-surfel index at the 4 adjacent pixels (regular shifts, not
     # gathers) for phases 6-7.
@@ -1110,6 +1292,7 @@ def _integrate_body(
         if params.debug_stop_after <= 3:    # 3 == blending (hoisted)
             return _dbg_return(post_a, post_b)
 
+    stage("surfel_merging")
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
     # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
@@ -1156,6 +1339,7 @@ def _integrate_body(
         return _dbg_return(pack, supporting_surfels, has_conflict,
                            first_depth, support_counts, support_depth_sums)
 
+    stage("integration")
     # Camera-space measurement data (post-blending), as one image pack.
     fx_inv, fy_inv, cx_inv, cy_inv = params.unprojection
     Tg = global_T_local
@@ -1204,7 +1388,7 @@ def _integrate_body(
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
     def integrate_at(pack, neighbors, nbr_dist, meas, counts_f, rgb, conf_i,
-                     pre, first, pxf, pyf, on):
+                     p_mnx, p_mny, p_mnz, p_rad, first, pxf, pyf, on):
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z)
@@ -1223,7 +1407,6 @@ def _integrate_body(
             Tg[1, 3]
         g_pz = Tg[2, 0] * m_plx + Tg[2, 1] * m_ply + Tg[2, 2] * meas + \
             Tg[2, 3]
-        p_mnx, p_mny, p_mnz = pre[:, 2], pre[:, 3], pre[:, 4]
         g_nx = Tg[0, 0] * p_mnx + Tg[0, 1] * p_mny + Tg[0, 2] * p_mnz
         g_ny = Tg[1, 0] * p_mnx + Tg[1, 1] * p_mny + Tg[1, 2] * p_mnz
         g_nz = Tg[2, 0] * p_mnx + Tg[2, 1] * p_mny + Tg[2, 2] * p_mnz
@@ -1234,7 +1417,7 @@ def _integrate_body(
         geo = {"px": g_px, "py": g_py, "pz": g_pz,
                "nx": g_nx, "ny": g_ny, "nz": g_nz,
                "counts": counts_f}
-        app = {"cr": m_cr, "cg": m_cg, "cb": m_cb, "radius": pre[:, 5],
+        app = {"cr": m_cr, "cg": m_cg, "cb": m_cb, "radius": p_rad,
                "mnx": p_mnx, "mny": p_mny, "mnz": p_mnz}
 
         # Conflict handling (kernels.cu:816-868): confidence - 1; at zero the
@@ -1309,15 +1492,13 @@ def _integrate_body(
             cols[STAMP])
         return jnp.stack(cols, axis=1), neighbors, nbr_dist
 
-    first_a = rows_pre_a[:, 1]
-    first_b = rows_pre_b[:, 1]
     pack, neighbors, nbr_dist = integrate_at(
         pack, neighbors, nbr_dist, meas_a, counts_a, rgb_a, conf_a,
-        rows_pre_a, first_a,
+        pre_mnx_a, pre_mny_a, pre_mnz_a, pre_rad_a, pre_first_a,
         px.astype(jnp.float32), py.astype(jnp.float32), base_on)
     pack, neighbors, nbr_dist = integrate_at(
         pack, neighbors, nbr_dist, meas_b, counts_b, rgb_b, conf_b,
-        rows_pre_b, first_b,
+        pre_mnx_b, pre_mny_b, pre_mnz_b, pre_rad_b, pre_first_b,
         sx.astype(jnp.float32), sy.astype(jnp.float32),
         base_on & side_ok)
     _tap("pack_after_integrate", pack)
@@ -1326,15 +1507,17 @@ def _integrate_body(
         return _dbg_return(pack, neighbors)
 
     # --- Phase 6: Neighbor update (kernels.cu:1197-1455) ------------------
+    stage("neighbor_update")
     gpack = sync(pack)   # phase 3+5 updates, visible to global-index gathers
     neighbors, nbr_dist = _update_neighbors(
         params, idx, active, lx, ly, z, px, py, pack, neighbors, nbr_dist,
-        meas_a, rows_pre_a[:, 5], sup_a, Tl, gpack)
+        meas_a, pre_rad_a, sup_a, Tl, gpack)
     _tap("neighbors_after_update", neighbors)
     if params.debug_stop_after <= 6:
         return _dbg_return(neighbors, pack)
 
     # --- Phase 7: New surfel creation (kernels.cu:90-271, .cc:37-146) -----
+    stage("new_surfel_creation")
     if params.exact_conflict_arbitration:
         conflict_free = conflicting_surfels == INVALID_INDEX
     else:
@@ -1353,6 +1536,7 @@ def _integrate_body(
                            overflow_count[None])
 
     # --- Phase 8: Regularization (kernels.cu:2099-2410) -------------------
+    stage("regularization")
     if params.regularization_iterations == 0:
         recent = _i32(pack[:, STAMP]) >= \
             frame_index - params.regularization_frame_window_size
@@ -1364,6 +1548,7 @@ def _integrate_body(
             pack, neighbors, nbr_dist = _regularize(
                 params, pack, neighbors, nbr_dist, frame_index, sync)
 
+    stage(None)
     return SurfelState(
         pack=pack, neighbors=neighbors, nbr_dist=nbr_dist,
         surfel_count=surfel_count,
@@ -1955,6 +2140,54 @@ def export_vertices(state: SurfelState):
     pos = jnp.where(merged[:, None], jnp.nan, state.pack[:, SX:SZ + 1])
     col = jnp.clip(state.pack[:, CR:CB + 1], 0, 255).astype(jnp.uint8)
     return pos, col
+
+
+@functools.partial(jax.jit, static_argnames=("window", "max_rows"))
+def meshing_snapshot_delta(state: SurfelState, last_snap_frame: jnp.ndarray,
+                           window: int, max_rows: int):
+    """Changed-rows snapshot for the meshing engine (round-3 e2e lever).
+
+    The reference re-downloads the full 8-attribute SoA every transfer
+    (cuda_surfel_reconstruction.cc:339-359) and lets the CPU mesher diff it
+    (surfel_meshing.cc:189-288); through a slow host link the full map
+    dominates e2e time.  This ships index + payload for only the rows that
+    can have changed since the last snapshot taken at `last_snap_frame`:
+
+      - stamp >= last_snap_frame + 1 - window: integrated/created since,
+        OR regularization-moved on some frame after the last snapshot (a
+        row with stamp s is reg-moved on every frame f <= s + window);
+      - radius < 0: merged tombstones (their stamp is 0, so the stamp test
+        misses them; shipping them repeatedly is harmless — the engine
+        treats known-merged rows as zombies).
+
+    Returns (indices, positions, radii_sq, normals, stamps, total_dirty,
+    surfel_count).  Rows are compacted in ascending index order; only the
+    first min(total_dirty, max_rows) rows are valid.  If total_dirty >
+    max_rows the caller must retry with a larger bucket (or fall back to a
+    full snapshot) — rows beyond the budget were NOT shipped.
+    """
+    pack = state.pack
+    n = pack.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    stamps = _i32(pack[:, STAMP])
+    live = iota < state.surfel_count
+    thresh = jnp.asarray(last_snap_frame, jnp.int32) + 1 - window
+    dirty = live & ((stamps >= thresh) | (pack[:, RAD] < 0))
+    d32 = dirty.astype(jnp.int32)
+    prefix = jnp.cumsum(d32) - d32
+    total = prefix[-1] + d32[-1]
+    slot = jnp.where(dirty & (prefix < max_rows), prefix, INVALID_INDEX)
+    rows_idx = jnp.full((max_rows,), INVALID_INDEX, jnp.int32).at[slot].set(
+        iota, mode="drop", unique_indices=True)
+    gidx = _safe_idx(rows_idx, n)
+    src1 = jnp.concatenate([pack[:, SX:SZ + 1], pack[:, RAD:RAD + 1]],
+                           axis=1)
+    src2 = jnp.concatenate([pack[:, NX:NZ + 1], pack[:, STAMP:STAMP + 1]],
+                           axis=1)
+    r1 = src1[gidx]
+    r2 = src2[gidx]
+    return (rows_idx, r1[:, :3], r1[:, 3], r2[:, :3], _i32(r2[:, 3]),
+            total, state.surfel_count)
 
 
 @jax.jit

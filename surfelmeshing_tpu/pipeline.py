@@ -91,6 +91,12 @@ class ReconstructionPipeline:
         self._count_upper_bound = 0
         self._pending_counts = []   # 2-frame-lagged async readbacks
 
+        # Delta-snapshot state (ship only changed rows to the mesher).
+        self._last_snap_frame: Optional[int] = None
+        self._delta_bucket = 1 << 16
+        self.snapshot_rows_shipped = 0   # cumulative rows over all snapshots
+        self.snapshot_count = 0
+
     def _log_device_memory(self) -> None:
         """Device memory report at init (cudaMemGetInfo analog,
         main.cc:859-869)."""
@@ -172,35 +178,47 @@ class ReconstructionPipeline:
         T_gl = pose.matrix3x4().astype(np.float32)
         T_lg = pose.inverse().matrix3x4().astype(np.float32)
 
-        if self.config.use_shape_buckets:
-            # Refresh the (lagged) surfel-count bound and pick the shape
-            # bucket.  Only completed (non-blocking) readbacks update the
-            # bound; each un-read frame adds one creation budget of headroom.
+        auto_budget = self.config.active_surfel_budget == -1
+        if self.config.use_shape_buckets or auto_budget:
+            # Refresh the (lagged) surfel-count bound.  Only completed
+            # (non-blocking) readbacks update the bound; each un-read frame
+            # adds one creation budget of headroom.
             budget = self.fusion_params.max_creations_per_frame
             while self._pending_counts and \
                     self._pending_counts[0].is_ready():
                 self._count_upper_bound = int(self._pending_counts.pop(0))
             self._count_upper_bound += budget
+        params = self.fusion_params
+        if self.config.use_shape_buckets:
             n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
                 1, self._count_upper_bound + budget)))))
             n_eff = min(n_eff, self.config.max_surfel_count)
+        elif self.config.active_surfel_budget:
+            # Tiled path: the bucket slicer must pass the full capacity
+            # through so _integrate_dispatch engages tiling.
+            n_eff = self.state.pack.shape[0]
+            if auto_budget:
+                params = dataclasses.replace(
+                    params, active_surfel_budget=self._auto_budget())
+            self._current_budget = params.active_surfel_budget
         else:
             n_eff = self.config.max_surfel_count
 
         if self.config.log_timings and self.config.log_timings_staged:
             self._last_stage_ms.update(self._staged_stage_ms(
-                depth, normals, radius, color, T_gl, T_lg, frame_index))
+                depth, normals, radius, color, T_gl, T_lg, frame_index,
+                n_eff))
 
         t0 = time.perf_counter()
         self.state = integrate_frame_bucketed(
             self.state, depth, normals, radius, jnp.asarray(color),
             jnp.asarray(T_gl), jnp.asarray(T_lg),
-            jnp.int32(frame_index), self.fusion_params, n_eff)
+            jnp.int32(frame_index), params, n_eff)
         t1 = time.perf_counter()
         self.timing.add_time("integration", t1 - t0)
         self._last_stage_ms.setdefault("integration", 1000.0 * (t1 - t0))
 
-        if self.config.use_shape_buckets:
+        if self.config.use_shape_buckets or auto_budget:
             # Kick off the async count readback for a later frame's bucket.
             # Copy the scalar: the state buffer itself is donated next frame.
             count_handle = self.state.surfel_count + 0
@@ -219,47 +237,25 @@ class ReconstructionPipeline:
                            surfel_count=-1,  # fetched lazily via surfel_count()
                            merge_count=-1)
 
-    # Reference --log_timings column -> cumulative fusion prefix
-    # (debug_stop_after) ending that stage.  data_association covers the
-    # min-depth raster + association like the reference's pair of phases.
-    # Blending is hoisted before merge in the compiled program (no data
-    # dependency; see fusion.py), so its prefix boundary (3) precedes the
-    # merge boundary (4) even though the log column order is unchanged.
-    _STAGE_BOUNDARIES = (
-        ("data_association", 2),
-        ("measurement_blending", 3),
-        ("surfel_merging", 4),
-        ("integration", 5),
-        ("neighbor_update", 6),
-        ("new_surfel_creation", 7),
-        ("regularization", 99),
-    )
-
     def _staged_stage_ms(self, depth, normals, radius, color, T_gl, T_lg,
-                         frame_index) -> Dict[str, float]:
-        """Real measured per-phase device times: run cumulative-prefix
-        fusion programs and difference their blocked wall times (the XLA
-        analog of the reference's per-phase cudaEvent brackets,
-        cuda_surfel_reconstruction.cc:112-320).  Does not mutate state."""
-        import dataclasses as _dc
+                         frame_index, n_eff) -> Dict[str, float]:
+        """Real measured per-phase device times via profiler-trace
+        extraction (utils/stage_trace.py): one probe step runs under
+        jax.profiler.trace and its device op durations are attributed to
+        the reference's --log_timings columns through the sm_* named
+        scopes in ops/fusion.py.  The XLA analog of the reference's
+        per-phase cudaEvent brackets (cuda_surfel_reconstruction.cc:
+        112-320).  Does not mutate state."""
+        from .utils.stage_trace import StagedFusionTimer
 
-        from .ops.fusion import integrate_frame_probe
-
+        if not hasattr(self, "_staged_timer"):
+            self._staged_timer = StagedFusionTimer()
         args = (jnp.asarray(depth), jnp.asarray(normals),
                 jnp.asarray(radius), jnp.asarray(color), jnp.asarray(T_gl),
                 jnp.asarray(T_lg), jnp.int32(frame_index))
-        out: Dict[str, float] = {}
-        prev = 0.0
-        for column, stop_after in self._STAGE_BOUNDARIES:
-            params = _dc.replace(self.fusion_params,
-                                 debug_stop_after=stop_after)
-            t0 = time.perf_counter()
-            probe = integrate_frame_probe(self.state, *args, params)
-            jax.block_until_ready(probe)
-            cumulative = time.perf_counter() - t0
-            out[column] = max(0.0, cumulative - prev) * 1000.0
-            prev = cumulative
-        return out
+        n_eff_key = None if n_eff >= self.state.pack.shape[0] else n_eff
+        return self._staged_timer.measure(self.fusion_params, self.state,
+                                          args, n_eff_key)
 
     def _preprocess(self, video: RGBDVideo, frame_index: int):
         cfg = self.config
@@ -362,6 +358,28 @@ class ReconstructionPipeline:
             cam.fx, cam.fy, cam.cx, cam.cy)
         dump("5_isolated_removed", d)
 
+    def _auto_budget(self) -> int:
+        """Pick the active-set tiling budget ~2x the lagged live count on a
+        power-of-2 tile ladder (bounded compiles), never below the creation
+        frontier requirement and never above capacity (VERDICT r2 #5: the
+        reference sizes its kernel grids to surfel_count each frame,
+        cuda_surfel_reconstruction.cc:131-140; under XLA static shapes the
+        ladder is the analog)."""
+        ts = self.fusion_params.tile_size
+        cap = self.state.pack.shape[0]
+        c_budget = min(self.fusion_params.max_creations_per_frame,
+                       self.camera.width * self.camera.height)
+        floor_tiles = c_budget // ts + 2
+        want = 2 * max(self._count_upper_bound, 1)
+        tiles = max(floor_tiles, -(-want // ts))
+        tiles = 1 << (tiles - 1).bit_length()
+        return int(min(tiles * ts, cap))
+
+    def active_budget(self) -> int:
+        """The effective active-set budget for the last processed frame."""
+        return getattr(self, "_current_budget",
+                       self.config.active_surfel_budget)
+
     # -- outputs ------------------------------------------------------------
 
     def surfel_count(self) -> int:
@@ -385,6 +403,50 @@ class ReconstructionPipeline:
                np.asarray(radius_sq[:pad])[:count],
                np.asarray(normal[:pad])[:count],
                np.asarray(stamps[:pad])[:count], count)
+        elapsed = time.perf_counter() - t0
+        self.timing.add_time("surfel_transfer", elapsed)
+        if hasattr(self, "_last_stage_ms"):
+            self._last_stage_ms["surfel_transfer"] = 1000.0 * elapsed
+        return out
+
+    def snapshot_for_meshing(self, frame_index: int):
+        """Tagged snapshot for MeshingDriver.submit_snapshot: a full SoA
+        snapshot the first time (and when delta transfer is disabled),
+        changed-rows-only afterwards (fusion.meshing_snapshot_delta; the
+        reference re-downloads everything each transfer,
+        cuda_surfel_reconstruction.cc:339-359, and diffs on the CPU)."""
+        from .ops.fusion import meshing_snapshot_delta
+
+        if not self.config.delta_surfel_transfer or \
+                self._last_snap_frame is None:
+            out = self.snapshot()
+            self._last_snap_frame = frame_index
+            self.snapshot_rows_shipped += out[4]
+            self.snapshot_count += 1
+            return ("full",) + out
+
+        t0 = time.perf_counter()
+        window = self.config.regularization_frame_window_size
+        cap = self.state.pack.shape[0]
+        while True:
+            max_rows = min(self._delta_bucket, cap)
+            (idx, pos, rad, nrm, stamps, total, count) = \
+                meshing_snapshot_delta(self.state,
+                                       jnp.int32(self._last_snap_frame),
+                                       window, max_rows)
+            total = int(total)
+            if total <= max_rows or max_rows >= cap:
+                break
+            # Bucket overflow: nothing was consumed host-side yet; retry
+            # with the next bucket (compiles once per bucket).
+            self._delta_bucket = 1 << (total - 1).bit_length()
+        m = min(total, max_rows)
+        out = ("delta", np.asarray(idx[:m]), np.asarray(pos[:m]),
+               np.asarray(rad[:m]), np.asarray(nrm[:m]),
+               np.asarray(stamps[:m]), int(count))
+        self._last_snap_frame = frame_index
+        self.snapshot_rows_shipped += m
+        self.snapshot_count += 1
         elapsed = time.perf_counter() - t0
         self.timing.add_time("surfel_transfer", elapsed)
         if hasattr(self, "_last_stage_ms"):

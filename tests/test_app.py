@@ -131,17 +131,11 @@ def test_staged_stage_timings(dataset, tmp_path):
                     nonzero[s] += 1
         return nonzero
 
-    # Every stage must be a real measurement on at least one frame (host
-    # timing noise on tiny CPU frames can clamp a small stage's delta to 0
-    # on some frames; a column that is ALWAYS zero means it isn't
-    # measured).  The prefix-difference probes are wall-clock, so a loaded
-    # machine can zero every sample of a sub-ms stage in one short run —
-    # retry once before calling that a failure.
+    # Every stage must be a real measurement on at least one frame: the
+    # timings are trace-extracted device op durations attributed by named
+    # scope (utils/stage_trace.py), so a column that is ALWAYS zero means
+    # its phase was not measured at all.
     nonzero = run_and_count(tmp_path)
-    if not all(nonzero[s] >= 1 for s in stages):
-        retry_dir = tmp_path / "retry"
-        retry_dir.mkdir()
-        nonzero = run_and_count(retry_dir)
     for s in stages:
         assert nonzero[s] >= 1, (s, nonzero)
 
@@ -173,3 +167,16 @@ def test_checkpoint_save_and_resume(dataset, tmp_path):
          "--export_point_cloud", str(tmp_path / "b.ply"))
     b = (tmp_path / "b.ply").read_bytes()
     assert len(b) > 200  # restored surfels exported
+
+
+def test_auto_active_budget(dataset, tmp_path, caplog):
+    """--active_surfel_budget -1 auto-sizes the tiling working set from the
+    lagged live count (power-of-2 tile ladder) and surfaces the
+    skipped-tile counter in the logs (VERDICT r2 #5)."""
+    import logging
+    with caplog.at_level(logging.INFO, logger="surfelmeshing_tpu"):
+        _run(dataset, tmp_path, "--active_surfel_budget", "-1",
+             "--export_point_cloud", str(tmp_path / "c.ply"))
+    assert (tmp_path / "c.ply").exists()
+    text = caplog.text
+    assert "skipped tiles" in text or "tiles skipped" in text

@@ -476,6 +476,28 @@ class TestSortedPixelMaps:
         np.testing.assert_array_equal(np.asarray(srt.neighbors),
                                       np.asarray(sct.neighbors))
 
+    def test_mega_matches_two_sort_bitexact(self):
+        """The round-3 mega-sort consolidation (ONE key sort + ONE restore
+        sort; association flags computed in the sorted domain with the
+        dummy's image columns broadcast over its run) must reproduce the
+        two-sort path bit-exactly — min/add reductions and the f32 flag
+        formulas are storage-order independent."""
+        t = TestActiveSetTiling()
+        base = FusionParams(
+            width=W, height=H, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_scaling=SCALE, do_blending=True,
+            regularization_iterations=1)
+        mega = t._run_sequence(base, capacity=8192)
+        two = t._run_sequence(
+            dataclasses.replace(base, mega_sort=False), capacity=8192)
+        assert int(mega.surfel_count) == int(two.surfel_count)
+        assert int(mega.surfel_count) > 0
+        np.testing.assert_array_equal(np.asarray(mega.pack),
+                                      np.asarray(two.pack))
+        np.testing.assert_array_equal(np.asarray(mega.neighbors),
+                                      np.asarray(two.neighbors))
+        assert int(mega.merge_count) == int(two.merge_count)
+
     def test_sorted_matches_scatter_exact_conflict(self):
         """Same equivalence with the exact min-index conflictor map on
         (the sorted path folds it into the same second sort)."""

@@ -27,8 +27,10 @@ def test_async_submit_and_output():
 
 
 def test_latest_snapshot_wins():
-    """Pending snapshots are replaced, not queued: the mesher always works on
-    the freshest fusion state (CUDASurfelsCPU double-buffer semantics)."""
+    """Rapid-fire snapshots are drained in one batch before triangulating:
+    the mesher always ends an iteration on the freshest fusion state (the
+    reference's double buffer keeps only the newest; the FIFO here must
+    never drop one — delta snapshots are not replayable)."""
     driver = MeshingDriver()
     pos, radius_sq, normals, stamps = plane_surfels(1500, seed=1)
     # Rapid-fire 5 snapshots; intermediate ones may be dropped.
@@ -67,3 +69,54 @@ def test_incremental_updates_through_driver():
     assert t2 > t1
     assert driver.engine.surfel_count == 900
     driver.finish()
+
+
+def test_delta_snapshots_match_full():
+    """Feeding the engine changed-rows-only deltas (integrate_delta) must
+    produce the same surfels and triangles as full snapshots — the delta
+    producer (fusion.meshing_snapshot_delta) ships every row whose
+    stamp/merge state could have changed, and the engine applies updates
+    and dense appends identically either way."""
+    from surfelmeshing_tpu.meshing.engine import MeshingEngine
+
+    rng = np.random.default_rng(9)
+    pos, radius_sq, normals, stamps = plane_surfels(1200, seed=3)
+
+    full = MeshingEngine()
+    delta = MeshingEngine()
+
+    n0 = 700
+    # Frame 0: initial population (delta path: all rows are "new").
+    full.integrate(0, pos[:n0], radius_sq[:n0], normals[:n0], stamps[:n0])
+    delta.integrate_delta(0, np.arange(n0, dtype=np.uint32), pos[:n0],
+                          radius_sq[:n0], normals[:n0], stamps[:n0], n0)
+    for eng in (full, delta):
+        eng.check_remeshing()
+        eng.triangulate()
+
+    # Frame 1: move a random subset, merge a few, append the rest.
+    moved = rng.choice(n0, 150, replace=False)
+    pos2 = pos.copy()
+    pos2[moved] += rng.normal(0, 1e-4, (150, 3)).astype(np.float32)
+    rad2 = radius_sq.copy()
+    merged = moved[:10]
+    rad2[merged] = -1.0
+    stamps2 = stamps.copy()
+    stamps2[moved] = 1
+    n1 = 1200
+
+    full.integrate(1, pos2[:n1], rad2[:n1], normals[:n1], stamps2[:n1])
+    dirty = np.concatenate([np.sort(moved), np.arange(n0, n1)]).astype(
+        np.uint32)
+    delta.integrate_delta(1, dirty, pos2[dirty], rad2[dirty], normals[dirty],
+                          stamps2[dirty], n1)
+    for eng in (full, delta):
+        eng.check_remeshing()
+        eng.triangulate()
+
+    assert full.surfel_count == delta.surfel_count == n1
+    assert full.merged_surfel_count == delta.merged_surfel_count
+    tf = {tuple(t) for t in full.get_triangles()}
+    td = {tuple(t) for t in delta.get_triangles()}
+    assert tf == td
+    assert len(tf) > 300

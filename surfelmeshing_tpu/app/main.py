@@ -48,6 +48,33 @@ def _up_direction(cfg, video):
         np.array([0.0, 1.0, 0.0])
 
 
+def build_debug_line_sets(cfg, pipe, count):
+    """Debug line passes (surfel_meshing_render_window.cc:382-430): red
+    surfel->neighbor segments, blue radius-length normal segments.  Shared
+    by the video writer and the live WebGL viewer."""
+    from ..ops import fusion as F
+    line_sets = []
+    if cfg.debug_neighbor_rendering or cfg.debug_normal_rendering:
+        from ..ops.fusion import INVALID_INDEX
+        smooth = np.asarray(F.smooth_positions(pipe.state)[:count])
+        if cfg.debug_neighbor_rendering:
+            nbrs = np.asarray(pipe.state.neighbors[:, :count]).T
+            src, slot = np.nonzero(nbrs != int(INVALID_INDEX))
+            tgt = nbrs[src, slot]
+            ok = tgt < count
+            segs = np.stack([smooth[src[ok]], smooth[tgt[ok]]], axis=1)
+            line_sets.append((segs, (255, 0, 0)))
+        if cfg.debug_normal_rendering:
+            radii = np.sqrt(np.maximum(
+                np.asarray(F.radii_sq(pipe.state)[:count]), 0.0))
+            nrm = np.asarray(F.normals(pipe.state)[:count])
+            tips = smooth + radii[:, None] * nrm
+            segs = np.stack([smooth, tips], axis=1)
+            segs = segs[np.isfinite(segs).all(axis=(1, 2))]
+            line_sets.append((segs, (0, 0, 255)))
+    return line_sets
+
+
 class VideoWriter:
     """Frame-by-frame screenshot video (--create_video, main.cc:1436-1440)."""
 
@@ -100,28 +127,7 @@ class VideoWriter:
             splats = positions[mesh_surfels:]
             splat_colors = colors[mesh_surfels:]
 
-        # Debug line passes (surfel_meshing_render_window.cc:382-430):
-        # red surfel->neighbor segments, blue radius-length normal segments.
-        line_sets = []
-        if self.cfg.debug_neighbor_rendering or \
-                self.cfg.debug_normal_rendering:
-            from ..ops.fusion import INVALID_INDEX
-            smooth = np.asarray(F.smooth_positions(pipe.state)[:count])
-            if self.cfg.debug_neighbor_rendering:
-                nbrs = np.asarray(pipe.state.neighbors[:, :count]).T
-                src, slot = np.nonzero(nbrs != int(INVALID_INDEX))
-                tgt = nbrs[src, slot]
-                ok = tgt < count
-                segs = np.stack([smooth[src[ok]], smooth[tgt[ok]]], axis=1)
-                line_sets.append((segs, (255, 0, 0)))
-            if self.cfg.debug_normal_rendering:
-                radii = np.sqrt(np.maximum(
-                    np.asarray(F.radii_sq(pipe.state)[:count]), 0.0))
-                nrm = np.asarray(F.normals(pipe.state)[:count])
-                tips = smooth + radii[:, None] * nrm
-                segs = np.stack([smooth, tips], axis=1)
-                segs = segs[np.isfinite(segs).all(axis=(1, 2))]
-                line_sets.append((segs, (0, 0, 255)))
+        line_sets = build_debug_line_sets(self.cfg, pipe, count)
 
         img = self.renderer.render(
             view_pose,
@@ -295,7 +301,7 @@ def run(cfg: SurfelMeshingConfig) -> int:
         live_viewer = LiveViewerServer(port=cfg.live_viewer_port)
         logger.info("live viewer: http://127.0.0.1:%d/", live_viewer.port)
 
-    def push_live(force=False):
+    def push_live(force=False, input_pose=None):
         nonlocal last_pushed_mesh
         if live_viewer is None:
             return
@@ -309,8 +315,14 @@ def run(cfg: SurfelMeshingConfig) -> int:
         count = pipe.surfel_count()
         tris = out[2] if out is not None else np.zeros((0, 3), np.uint32)
         mesh_count = out[1] if out is not None else 0
-        live_viewer.update(np.asarray(positions[:count]),
-                           np.asarray(colors[:count]), tris, mesh_count)
+        live_viewer.update(
+            np.asarray(positions[:count]), np.asarray(colors[:count]),
+            tris, mesh_count,
+            pose=(input_pose.matrix3x4() if input_pose is not None
+                  else None),
+            debug_lines=build_debug_line_sets(cfg, pipe, count)
+            if (cfg.debug_neighbor_rendering or
+                cfg.debug_normal_rendering) else None)
 
     stats_interval = 200
     frame_count_hits = 0
@@ -379,7 +391,7 @@ def run(cfg: SurfelMeshingConfig) -> int:
 
         if live_viewer is not None and \
                 (processed_frames % 5 == 0 or mesher is None):
-            push_live()
+            push_live(input_pose=input_pose)
         if cfg.log_timings:
             pipe.log_frame_timings(frame_index)
         if frame_index % stats_interval == 0:

@@ -1,0 +1,174 @@
+"""Deviation A/B matrix across hostile scenes and trajectories.
+
+The TPU-native fusion keeps four documented deviations from the reference's
+CUDA semantics (fast_neighbor_update, symmetric_regularization, elementwise
+conflict arbitration, the RCNT Jacobi lag — see ops/fusion.FusionParams and
+the reference kernels at cuda_surfel_reconstruction_kernels.cu:1302-1322,
+1420-1437, 2115-2194, 1610-1618).  Round 2 justified their defaults with a
+single synthetic scene; this module measures every mode on the full scene ×
+trajectory registry of io/synthetic.py (occlusion edges, thin structures,
+creases, look-away revisits, forward scale drift) so the defaults are
+bounded per geometry class, not per data point.
+
+`python -m surfelmeshing_tpu.eval.ab_matrix` prints the markdown table
+recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..io.synthetic import SCENES, TRAJECTORIES, SyntheticRGBDSequence
+from ..ops import preprocess as pp
+from ..ops.fusion import (FusionParams, create_surfel_state, integrate_frame,
+                          meshing_snapshot)
+
+# The A/B contrast set: TPU-native defaults vs each reference-exact switch
+# alone vs everything exact.
+MODES = (
+    ("tpu_defaults", {}),
+    ("exact_reg", dict(symmetric_regularization=False)),
+    ("exact_conflict", dict(exact_conflict_arbitration=True)),
+    ("exact_neighbors", dict(fast_neighbor_update=False)),
+    ("exact_all", dict(symmetric_regularization=False,
+                       exact_conflict_arbitration=True,
+                       fast_neighbor_update=False)),
+)
+
+
+def run_fusion_sequence(
+    params: FusionParams,
+    capacity: int,
+    frames: int = 8,
+    width: int = 160,
+    height: int = 120,
+    scene: str = "default",
+    trajectory: str = "arc",
+    noise_sigma: float = 0.0,
+) -> Tuple["object", SyntheticRGBDSequence]:
+    """Preprocess + fuse a synthetic sequence (the driver loop of
+    app/main.py:224-473 minus meshing/IO) and return the final state."""
+    import jax.numpy as jnp
+
+    seq = SyntheticRGBDSequence(num_frames=frames + 2, width=width,
+                                height=height, scene=scene,
+                                trajectory=trajectory,
+                                noise_sigma=noise_sigma)
+    cam = seq.camera
+    scale = seq.depth_scaling
+    params = dataclasses.replace(
+        params, width=width, height=height,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, depth_scaling=scale)
+    state = create_surfel_state(capacity)
+    for i in range(1, frames + 1):
+        depth, color = seq.depth_and_color(i)
+        others = np.stack([seq.depth_and_color(i - 1)[0],
+                           seq.depth_and_color(i + 1)[0]])
+        ref = seq.poses[i].scaled_translation(scale)
+        T = np.stack([
+            ((ref.inverse() * seq.poses[j].scaled_translation(scale))
+             .inverse().matrix3x4())
+            for j in (i - 1, i + 1)]).astype(np.float32)
+        d, normals, radius = pp.preprocess_frame(
+            depth, others, T,
+            sigma_xy=3.0, sigma_value_factor=0.05, radius_factor=2.0,
+            max_depth_u16=int(scale * 3.5),
+            depth_valid_region_radius=max(width, height),
+            tolerance=0.02, required_inliers=None, erosion_radius=1,
+            observation_angle_threshold_deg=85.0, depth_scaling=scale,
+            point_radius_extension_factor=1.5,
+            point_radius_clamp_factor=np.inf,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        T_gl = seq.poses[i].matrix3x4().astype(np.float32)
+        T_lg = seq.poses[i].inverse().matrix3x4().astype(np.float32)
+        color_pm = np.ascontiguousarray(color.transpose(2, 0, 1))
+        state = integrate_frame(
+            state, d, normals, radius, jnp.asarray(color_pm),
+            jnp.asarray(T_gl), jnp.asarray(T_lg), jnp.int32(i), params)
+    return state, seq
+
+
+def scene_error_mm(state, seq: SyntheticRGBDSequence) -> float:
+    """Mean exact distance (mm) of live smoothed surfels to the true scene
+    surface — the accuracy numerator for the A/B (no mesh file needed)."""
+    count = int(state.surfel_count)
+    smooth, radius_sq, _, _, _ = meshing_snapshot(state)
+    pts = np.asarray(smooth[:count])
+    alive = np.asarray(radius_sq[:count]) >= 0
+    d = seq.surface_distance(pts[alive])
+    return float(d.mean() * 1000.0)
+
+
+def deviation_matrix(
+    frames: int = 8,
+    width: int = 160,
+    height: int = 120,
+    capacity: int = 65536,
+    scenes=None,
+    trajectories=None,
+    noise_sigma: float = 0.0,
+    base_params: Optional[FusionParams] = None,
+) -> Dict[str, Dict[str, float]]:
+    """-> {"scene/trajectory": {mode: error_mm}} for every combination."""
+    if base_params is None:
+        base_params = FusionParams(
+            width=width, height=height, fx=1.0, fy=1.0, cx=0.0, cy=0.0,
+            depth_scaling=5000.0, do_blending=True,
+            regularization_iterations=1)
+    out: Dict[str, Dict[str, float]] = {}
+    for scene in (scenes or SCENES):
+        for traj in (trajectories or TRAJECTORIES):
+            row: Dict[str, float] = {}
+            for mode, kw in MODES:
+                params = dataclasses.replace(base_params, **kw)
+                state, seq = run_fusion_sequence(
+                    params, capacity, frames=frames, width=width,
+                    height=height, scene=scene, trajectory=traj,
+                    noise_sigma=noise_sigma)
+                row[mode] = scene_error_mm(state, seq)
+            out[f"{scene}/{traj}"] = row
+    return out
+
+
+def format_markdown(matrix: Dict[str, Dict[str, float]]) -> str:
+    names = [m for m, _ in MODES]
+    lines = ["| scene/trajectory | " + " | ".join(names) +
+             " | max rel dev |",
+             "|---|" + "---|" * (len(names) + 1)]
+    for key, row in matrix.items():
+        exact = row["exact_all"]
+        rel = max(abs(row[m] - exact) for m in names) / max(exact, 1e-9)
+        lines.append(
+            f"| {key} | " +
+            " | ".join(f"{row[m]:.4f}" for m in names) +
+            f" | {100.0 * rel:.2f}% |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--height", type=int, default=120)
+    ap.add_argument("--capacity", type=int, default=65536)
+    ap.add_argument("--noise_sigma", type=float, default=0.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (default: session platform)")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    matrix = deviation_matrix(frames=args.frames, width=args.width,
+                              height=args.height, capacity=args.capacity,
+                              noise_sigma=args.noise_sigma)
+    print(format_markdown(matrix))
+
+
+if __name__ == "__main__":
+    main()

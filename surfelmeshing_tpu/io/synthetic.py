@@ -1,10 +1,18 @@
 """Synthetic RGB-D sequence generator.
 
-Produces deterministic raytraced depth + color frames of a simple scene
-(back wall + floor + sphere) with a smooth camera trajectory and exact poses.
-Used by tests and by bench.py when no TUM RGB-D dataset is on disk; can also
-write a full TUM-format dataset directory (calibration.txt, associated.txt,
+Produces deterministic raytraced depth + color frames of parametric scenes
+with smooth camera trajectories and exact poses.  Used by tests and by
+bench.py when no TUM RGB-D dataset is on disk; can also write a full
+TUM-format dataset directory (calibration.txt, associated.txt,
 groundtruth.txt, PNGs) so the dataset loader path is exercised end-to-end.
+
+Besides the default scene (back wall + floor + sphere), a registry of
+HOSTILE scenes exercises the failure modes real TUM sequences exhibit
+(occlusion edges / depth shadows, thin structures, sharp creases,
+look-away-and-return revisits, forward scale drift) so reconstruction
+deviations can be A/B'd across geometry classes, not one data point.
+Every scene provides an analytic exact distance-to-surface so mesh/cloud
+accuracy is measurable without a ground-truth mesh file.
 
 Geometry conventions match the reference pipeline: depth stored as
 u16 = depth_scaling * meters (TUM convention, main.cc:279-282), camera model
@@ -13,8 +21,9 @@ is the pinhole camera of utils.camera with pixel-corner cx/cy.
 
 from __future__ import annotations
 
+import dataclasses
 import os
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -40,6 +49,11 @@ def _ray_directions(camera: PinholeCamera) -> np.ndarray:
     return np.stack([dx, dy, np.ones_like(dx)], axis=-1)
 
 
+def _yaw_pose(yaw: float, t) -> SE3:
+    q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
+    return SE3(q, t)
+
+
 def _trajectory(num_frames: int) -> List[SE3]:
     """Smooth sideways arc with slight yaw; global_T_camera poses."""
     poses = []
@@ -49,13 +63,134 @@ def _trajectory(num_frames: int) -> List[SE3]:
         ty = 0.05 * np.sin(2 * np.pi * s)
         tz = 0.1 * s
         yaw = 0.1 * np.sin(2 * np.pi * s * 0.5)
-        q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
-        poses.append(SE3(q, [tx, ty, tz]))
+        poses.append(_yaw_pose(yaw, [tx, ty, tz]))
     return poses
 
 
+def _trajectory_lookaway(num_frames: int) -> List[SE3]:
+    """Pan hard to the side mid-sequence and come back: surfaces leave the
+    view long enough to exit the integration active window and are then
+    revisited — the loop-revisit / active-window re-entry phenomenon of
+    real hand-held TUM sequences (surfel active window,
+    cuda_surfel_reconstruction_kernels.cu:77-87)."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(1, num_frames - 1)
+        # Triangle profile: 0 -> 0.9 rad (~52deg) at midpoint -> 0.
+        yaw = 0.9 * (1.0 - abs(2.0 * s - 1.0))
+        tx = 0.1 * np.sin(np.pi * s)
+        poses.append(_yaw_pose(yaw, [tx, 0.0, 0.0]))
+    return poses
+
+
+def _trajectory_push(num_frames: int) -> List[SE3]:
+    """Forward dolly toward the scene: the apparent surfel radius shrinks
+    ~2x over the run, driving scene-scale drift (exercises the meshing
+    grid's cell-size rebuild and radius-dependent fusion thresholds)."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(1, num_frames - 1)
+        tz = 1.1 * s
+        ty = 0.02 * np.sin(2 * np.pi * s)
+        poses.append(_yaw_pose(0.0, [0.0, ty, tz]))
+    return poses
+
+
+TRAJECTORIES = {
+    "arc": _trajectory,
+    "lookaway": _trajectory_lookaway,
+    "push": _trajectory_push,
+}
+
+
+# --------------------------------------------------------------------------
+# Raytracing primitives (vectorized over an (..., 3) ray grid).  Each helper
+# folds its hits into the running (t, mat) nearest-hit state.
+
+
+def _isect_plane(origins, dirs, t, mat, axis, value, sign, m, bounds=()):
+    """One-sided axis-aligned plane; optional rectangle bounds on the
+    in-plane axes as ((axis, lo, hi), ...)."""
+    d = dirs[..., axis]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tp = (value - origins[..., axis]) / d
+    hit = (tp > 0.05) & (sign * d > 1e-9)
+    for (b_axis, lo, hi) in bounds:
+        coord = origins[..., b_axis] + tp * dirs[..., b_axis]
+        hit = hit & (coord >= lo) & (coord <= hi)
+    better = hit & (tp < t)
+    return np.where(better, tp, t), np.where(better, m, mat)
+
+
+def _isect_sphere(origins, dirs, t, mat, center, radius, m):
+    oc = origins - np.asarray(center)
+    dd = np.sum(dirs * dirs, axis=-1)
+    b = np.sum(oc * dirs, axis=-1) / dd
+    c = (np.sum(oc * oc, axis=-1) - radius ** 2) / dd
+    disc = b * b - c
+    ts = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit = (disc > 0) & (ts > 0.05)
+    better = hit & (ts < t)
+    return np.where(better, ts, t), np.where(better, m, mat)
+
+
+def _isect_box(origins, dirs, t, mat, lo, hi, m):
+    """Axis-aligned box via the slab method (entry face only — the camera
+    is assumed outside)."""
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / dirs
+        t0 = (lo - origins) * inv
+        t1 = (hi - origins) * inv
+    tmin = np.minimum(t0, t1).max(axis=-1)
+    tmax = np.maximum(t0, t1).min(axis=-1)
+    hit = (tmin <= tmax) & (tmin > 0.05)
+    better = hit & (tmin < t)
+    return np.where(better, tmin, t), np.where(better, m, mat)
+
+
+# Exact point-to-surface distances for the same primitives (pts: (N, 3)).
+
+
+def _dist_plane(pts, axis, value, bounds=()):
+    d_axis = pts[:, axis] - value
+    d_sq = d_axis * d_axis
+    for (b_axis, lo, hi) in bounds:
+        c = pts[:, b_axis]
+        over = np.maximum(np.maximum(lo - c, c - hi), 0.0)
+        d_sq = d_sq + over * over
+    return np.sqrt(d_sq)
+
+
+def _dist_sphere(pts, center, radius):
+    return np.abs(np.linalg.norm(pts - np.asarray(center), axis=1) - radius)
+
+
+def _dist_box(pts, lo, hi):
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    q = np.maximum(np.maximum(lo - pts, pts - hi), 0.0)
+    outside = np.linalg.norm(q, axis=1)
+    inside = np.minimum(np.min(pts - lo, axis=1), np.min(hi - pts, axis=1))
+    return np.where(outside > 0, outside, np.maximum(inside, 0.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """A raytraceable scene with an analytic exact surface distance.
+
+    `intersect(origins, dirs) -> (t, mat)` nearest-hit raytrace (t=inf for
+    miss); `surface_distance(pts) -> (N,)` exact distance from world points
+    to the scene surface (the accuracy denominator for A/B evals)."""
+
+    name: str
+    intersect: "callable"
+    surface_distance: "callable"
+
+
 def _intersect_scene(origins: np.ndarray, dirs: np.ndarray):
-    """Raytrace the scene in world space.
+    """Raytrace the default scene in world space.
 
     Scene: back wall (z=2.5), floor (y=0.8, normal -y), sphere at
     (0, 0.3, 1.8) r=0.35.  Returns (t, material_id) with t=inf for miss.
@@ -80,33 +215,103 @@ def _intersect_scene(origins: np.ndarray, dirs: np.ndarray):
     t = np.where(better, t_floor, t)
     mat = np.where(better, 2, mat)
 
-    # Sphere.
-    center = np.array([0.0, 0.3, 1.8])
-    oc = origins - center
-    b = np.sum(oc * dirs, axis=-1)
-    c = np.sum(oc * oc, axis=-1) - 0.35 ** 2
-    disc = b * b - c
-    sq = np.sqrt(np.maximum(disc, 0.0))
-    t_sph = -b - sq
-    hit = (disc > 0) & (t_sph > 0.05)
-    better = hit & (t_sph < t)
-    t = np.where(better, t_sph, t)
-    mat = np.where(better, 3, mat)
+    # Sphere.  NOTE: dirs are unnormalized (z=1 parameterization), so the
+    # quadratic must be scaled by d.d — the first-round version omitted
+    # that and produced phantom "hits" on rays passing near the sphere
+    # (their depths were NOT on the sphere surface, so the scene's depth
+    # maps disagreed with its analytic geometry).
+    t, mat = _isect_sphere(origins, dirs, t, mat, [0.0, 0.3, 1.8], 0.35, 3)
 
     return t, mat
+
+
+def _default_distance(pts):
+    return np.minimum(
+        np.minimum(_dist_plane(pts, 2, 2.5), _dist_plane(pts, 1, 0.8)),
+        _dist_sphere(pts, [0.0, 0.3, 1.8], 0.35))
+
+
+# Foreground slab of the occlusion scene (shadows the wall behind it; its
+# silhouette sweeps across the background as the camera arcs, generating
+# occlusion boundaries, depth shadows and support/conflict churn).
+_OCC_BOX = ([-0.45, -0.10, 1.15], [0.05, 0.55, 1.35])
+# Thin plate of the thin-structure scene: 2 cm thick at ~1.6 m depth —
+# thinner than the sensor-noise conflict band (0.05 * 1.6 = 8 cm), so the
+# front and back faces sit inside each other's occlusion/conflict zones.
+_THIN_PLATE = ([-0.30, 0.00, 1.59], [0.30, 0.55, 1.61])
+_THIN_BAR = ([-0.55, 0.26, 1.95], [0.55, 0.30, 1.99])
+# Corner scene: side wall x = -0.7 meeting the back wall at a crease.
+_CORNER_X = -0.7
+
+
+def _intersect_occlusion(origins, dirs):
+    t, mat = _intersect_scene(origins, dirs)
+    return _isect_box(origins, dirs, t, mat, *_OCC_BOX, 4)
+
+
+def _occlusion_distance(pts):
+    return np.minimum(_default_distance(pts), _dist_box(pts, *_OCC_BOX))
+
+
+def _intersect_thin(origins, dirs):
+    t = np.full(dirs.shape[:-1], np.inf)
+    mat = np.zeros(dirs.shape[:-1], dtype=np.int32)
+    t, mat = _isect_plane(origins, dirs, t, mat, 2, 2.5, 1.0, 1)
+    t, mat = _isect_plane(origins, dirs, t, mat, 1, 0.8, 1.0, 2)
+    t, mat = _isect_box(origins, dirs, t, mat, *_THIN_PLATE, 3)
+    t, mat = _isect_box(origins, dirs, t, mat, *_THIN_BAR, 4)
+    return t, mat
+
+
+def _thin_distance(pts):
+    d = np.minimum(_dist_plane(pts, 2, 2.5), _dist_plane(pts, 1, 0.8))
+    d = np.minimum(d, _dist_box(pts, *_THIN_PLATE))
+    return np.minimum(d, _dist_box(pts, *_THIN_BAR))
+
+
+def _intersect_corner(origins, dirs):
+    t = np.full(dirs.shape[:-1], np.inf)
+    mat = np.zeros(dirs.shape[:-1], dtype=np.int32)
+    t, mat = _isect_plane(origins, dirs, t, mat, 2, 2.5, 1.0, 1,
+                          bounds=((0, _CORNER_X, np.inf),))
+    t, mat = _isect_plane(origins, dirs, t, mat, 0, _CORNER_X, -1.0, 4,
+                          bounds=((2, 0.05, 2.5),))
+    t, mat = _isect_plane(origins, dirs, t, mat, 1, 0.8, 1.0, 2)
+    t, mat = _isect_sphere(origins, dirs, t, mat, [0.0, 0.3, 1.8], 0.35, 3)
+    return t, mat
+
+
+def _corner_distance(pts):
+    d = np.minimum(
+        _dist_plane(pts, 2, 2.5, bounds=((0, _CORNER_X, np.inf),)),
+        _dist_plane(pts, 0, _CORNER_X, bounds=((2, 0.05, 2.5),)))
+    d = np.minimum(d, _dist_plane(pts, 1, 0.8))
+    return np.minimum(d, _dist_sphere(pts, [0.0, 0.3, 1.8], 0.35))
+
+
+SCENES: Dict[str, Scene] = {
+    "default": Scene("default", _intersect_scene, _default_distance),
+    "occlusion": Scene("occlusion", _intersect_occlusion,
+                       _occlusion_distance),
+    "thin": Scene("thin", _intersect_thin, _thin_distance),
+    "corner": Scene("corner", _intersect_corner, _corner_distance),
+}
 
 
 def render_frame(camera: PinholeCamera, global_T_camera: SE3,
                  depth_scaling: float = 5000.0,
                  noise_sigma: float = 0.0,
-                 seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                 seed: int = 0,
+                 scene: Scene = None) -> Tuple[np.ndarray, np.ndarray]:
     """-> (depth u16 (H,W), color u8 (H,W,3))."""
+    if scene is None:
+        scene = SCENES["default"]
     dirs_cam = _ray_directions(camera)
     R = global_T_camera.rotation_matrix
     dirs_world = dirs_cam @ R.T
     origin = np.broadcast_to(global_T_camera.t, dirs_world.shape)
 
-    t, mat = _intersect_scene(origin, dirs_world)
+    t, mat = scene.intersect(origin, dirs_world)
     # t is the parameter along a ray whose z-component in camera space is 1,
     # so camera-space depth z == t.
     depth_m = np.where(np.isfinite(t), t, 0.0)
@@ -119,8 +324,8 @@ def render_frame(camera: PinholeCamera, global_T_camera: SE3,
     depth_u16 = np.clip(depth_scaling * depth_m + 0.5, 0, 65535).astype(np.uint16)
 
     # Simple per-material shading with a distance falloff.
-    base = np.array([[0, 0, 0], [200, 180, 160], [90, 130, 90], [180, 60, 60]],
-                    dtype=np.float64)
+    base = np.array([[0, 0, 0], [200, 180, 160], [90, 130, 90],
+                     [180, 60, 60], [70, 90, 170]], dtype=np.float64)
     shade = np.clip(1.0 - 0.18 * np.where(np.isfinite(t), t, 0.0), 0.3, 1.0)
     color = (base[mat] * shade[..., None]).astype(np.uint8)
     return depth_u16, color
@@ -131,12 +336,18 @@ class SyntheticRGBDSequence:
 
     def __init__(self, num_frames: int = 20, width: int = 640,
                  height: int = 480, depth_scaling: float = 5000.0,
-                 noise_sigma: float = 0.0):
+                 noise_sigma: float = 0.0, scene: str = "default",
+                 trajectory: str = "arc"):
         self.camera = default_camera(width, height)
         self.depth_scaling = depth_scaling
-        self.poses = _trajectory(num_frames)   # global_T_frame
+        self.scene = SCENES[scene]
+        self.poses = TRAJECTORIES[trajectory](num_frames)  # global_T_frame
         self.noise_sigma = noise_sigma
         self._cache = {}
+
+    def surface_distance(self, pts: np.ndarray) -> np.ndarray:
+        """Exact distance from world points to the scene surface."""
+        return self.scene.surface_distance(np.asarray(pts, np.float64))
 
     @property
     def frame_count(self) -> int:
@@ -146,18 +357,21 @@ class SyntheticRGBDSequence:
         if i not in self._cache:
             self._cache[i] = render_frame(
                 self.camera, self.poses[i], self.depth_scaling,
-                self.noise_sigma, seed=i)
+                self.noise_sigma, seed=i, scene=self.scene)
         return self._cache[i]
 
 
 def write_tum_dataset(path: str, num_frames: int = 12, width: int = 160,
-                      height: int = 120, depth_scaling: float = 5000.0) -> str:
+                      height: int = 120, depth_scaling: float = 5000.0,
+                      scene: str = "default",
+                      trajectory: str = "arc") -> str:
     """Write a TUM-format dataset directory for loader tests."""
     from PIL import Image as PILImage
 
     os.makedirs(os.path.join(path, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(path, "depth"), exist_ok=True)
-    seq = SyntheticRGBDSequence(num_frames, width, height, depth_scaling)
+    seq = SyntheticRGBDSequence(num_frames, width, height, depth_scaling,
+                                scene=scene, trajectory=trajectory)
     cam = seq.camera
 
     with open(os.path.join(path, "calibration.txt"), "w") as f:

@@ -16,6 +16,14 @@ Endpoints:
              + positions f32[num_vertices,3] + colors u8[num_vertices,3]
              (padded to 4-byte alignment) + indices u32[num_triangles,3]
   /version   current snapshot version as text (cheap poll)
+  /pose      latest input-camera pose as 12 space-separated floats
+             (global_T_camera 3x4, row-major; empty before the first frame)
+             — drives the follow-input-camera mode
+             (main.cc --follow_input_camera)
+  /debug     debug line sets (surfel_meshing_render_window.cc:382-430
+             neighbor/normal passes): [num_sets u32] then per set
+             [count u32, r u8, g u8, b u8, pad u8]
+             + segments f32[count, 2, 3]
 """
 
 from __future__ import annotations
@@ -37,6 +45,8 @@ class LiveViewerServer:
                                      np.zeros((0, 3), np.uint8),
                                      np.zeros((0, 3), np.uint32), 0, 0)
         self._version = 0
+        self._pose = b""
+        self._debug = struct.pack("<I", 0)
 
         viewer = self
 
@@ -57,6 +67,14 @@ class LiveViewerServer:
                     with viewer._lock:
                         body = str(viewer._version).encode()
                     self._reply(200, "text/plain", body)
+                elif self.path == "/pose":
+                    with viewer._lock:
+                        body = viewer._pose
+                    self._reply(200, "text/plain", body)
+                elif self.path == "/debug":
+                    with viewer._lock:
+                        body = viewer._debug
+                    self._reply(200, "application/octet-stream", body)
                 else:
                     self._reply(404, "text/plain", b"not found")
 
@@ -88,14 +106,30 @@ class LiveViewerServer:
                          col_bytes, b"\0" * pad, triangles.tobytes()])
 
     def update(self, positions, colors, triangles,
-               mesh_surfel_count: int) -> None:
+               mesh_surfel_count: int, pose=None,
+               debug_lines=None) -> None:
         """Publish a new snapshot.  NaN vertices (merged surfels) are kept —
         the client skips non-finite splats and WebGL culls NaN triangles —
-        so indices stay valid without remapping."""
+        so indices stay valid without remapping.
+
+        pose: optional global_T_camera 3x4 (row-major) of the current input
+        frame, served on /pose for the follow-input-camera mode.
+        debug_lines: optional [(segments (M, 2, 3) f32, (r, g, b)), ...]
+        served on /debug (neighbor/normal line passes)."""
         with self._lock:
             self._version += 1
             self._payload = self._encode(positions, colors, triangles,
                                          mesh_surfel_count, self._version)
+            if pose is not None:
+                vals = np.asarray(pose, np.float64).reshape(-1)[:12]
+                self._pose = " ".join(f"{v:.9g}" for v in vals).encode()
+            if debug_lines is not None:
+                parts = [struct.pack("<I", len(debug_lines))]
+                for segs, (r, g, b) in debug_lines:
+                    segs = np.ascontiguousarray(segs, np.float32)
+                    parts.append(struct.pack("<I4B", len(segs), r, g, b, 0))
+                    parts.append(segs.tobytes())
+                self._debug = b"".join(parts)
 
     def close(self) -> None:
         self._server.shutdown()

@@ -5,8 +5,53 @@ import numpy as np
 from surfelmeshing_tpu.eval.mesh_accuracy import (AccuracyResult,
                                                   evaluate_accuracy,
                                                   load_obj_vertices_triangles,
+                                                  point_to_mesh_distance,
                                                   sample_mesh_surface)
 from surfelmeshing_tpu.io.mesh_io import write_obj
+
+
+def _ref_point_triangle(p, a, b, c):
+    """Scalar closest-point-on-triangle (Ericson RTCD 5.1.5) oracle."""
+    ab, ac, ap = b - a, c - a, p - a
+    d1, d2 = ab @ ap, ac @ ap
+    if d1 <= 0 and d2 <= 0:
+        return np.linalg.norm(p - a)
+    bp = p - b
+    d3, d4 = ab @ bp, ac @ bp
+    if d3 >= 0 and d4 <= d3:
+        return np.linalg.norm(p - b)
+    vc = d1 * d4 - d3 * d2
+    if vc <= 0 and d1 >= 0 and d3 <= 0:
+        return np.linalg.norm(p - (a + d1 / (d1 - d3) * ab))
+    cp = p - c
+    d5, d6 = ab @ cp, ac @ cp
+    if d6 >= 0 and d5 <= d6:
+        return np.linalg.norm(p - c)
+    vb = d5 * d2 - d1 * d6
+    if vb <= 0 and d2 >= 0 and d6 <= 0:
+        return np.linalg.norm(p - (a + d2 / (d2 - d6) * ac))
+    va = d3 * d6 - d5 * d4
+    if va <= 0 and (d4 - d3) >= 0 and (d5 - d6) >= 0:
+        t = (d4 - d3) / ((d4 - d3) + (d5 - d6))
+        return np.linalg.norm(p - (b + t * (c - b)))
+    denom = 1.0 / (va + vb + vc)
+    return np.linalg.norm(p - (a + ab * (vb * denom) + ac * (vc * denom)))
+
+
+def test_point_to_mesh_distance_exact():
+    """Vectorized point->mesh distance must match the scalar Ericson
+    closest-point oracle over every triangle (all 7 Voronoi regions hit by
+    random geometry)."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, (25, 3))
+    t = rng.integers(0, 25, (50, 3))
+    t = t[(t[:, 0] != t[:, 1]) & (t[:, 1] != t[:, 2]) & (t[:, 0] != t[:, 2])]
+    p = rng.normal(0, 1.5, (300, 3))
+    got = point_to_mesh_distance(p, v, t, k=len(t))
+    want = np.array([
+        min(_ref_point_triangle(q, v[i], v[j], v[k]) for i, j, k in t)
+        for q in p])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
 def unit_square_mesh():

@@ -23,9 +23,24 @@ def test_endpoints_and_snapshot_roundtrip():
         pos = np.arange(12, dtype=np.float32).reshape(4, 3)
         col = np.arange(12, dtype=np.uint8).reshape(4, 3)
         tris = np.array([[0, 1, 2], [1, 2, 3]], np.uint32)
-        server.update(pos, col, tris, mesh_surfel_count=3)
+        pose = np.arange(12, dtype=np.float32).reshape(3, 4)
+        segs = np.arange(18, dtype=np.float32).reshape(3, 2, 3)
+        server.update(pos, col, tris, mesh_surfel_count=3, pose=pose,
+                      debug_lines=[(segs, (255, 0, 0))])
 
         assert _get(server.port, "/version") == b"1"
+        # Follow-camera pose endpoint: 12 floats, row-major 3x4.
+        got_pose = np.array(
+            [float(v) for v in _get(server.port, "/pose").split()])
+        np.testing.assert_allclose(got_pose.reshape(3, 4), pose)
+        # Debug line endpoint: one red set of 3 segments.
+        dbg = _get(server.port, "/debug")
+        n_sets, = struct.unpack_from("<I", dbg, 0)
+        assert n_sets == 1
+        cnt, r, g, b, _pad = struct.unpack_from("<I4B", dbg, 4)
+        assert (cnt, r, g, b) == (3, 255, 0, 0)
+        got_segs = np.frombuffer(dbg, np.float32, 18, 12).reshape(3, 2, 3)
+        np.testing.assert_array_equal(got_segs, segs)
         buf = _get(server.port, "/mesh")
         version, nv, nt, ms = struct.unpack_from("<4I", buf, 0)
         assert (version, nv, nt, ms) == (1, 4, 2, 3)

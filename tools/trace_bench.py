@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Trace the bench.py fusion step and dump an xplane trace.
 
-Usage: python tools/trace_bench.py [/tmp/bench_trace] [n_eff]
+Usage: python tools/trace_bench.py [/tmp/bench_trace] [n_eff] [nomega]
 
 With n_eff (e.g. 327680) the step runs integrate_frame_bucketed at that
 fixed bucket, matching the shapes the bucketed bench spends most frames
@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_trace"
     n_eff = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    nomega = "nomega" in sys.argv[3:]
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -50,7 +51,8 @@ def main():
     cam = seq.camera
     params = FusionParams(
         width=W, height=H, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-        depth_scaling=SCALE, do_blending=True, regularization_iterations=1)
+        depth_scaling=SCALE, do_blending=True, regularization_iterations=1,
+        mega_sort=not nomega)
 
     device = jax.devices()[0]
     depths, colors = [], []

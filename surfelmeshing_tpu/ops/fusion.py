@@ -1045,46 +1045,55 @@ def _integrate_body(
         # SAME payload streams (a candidate never needs its pixel slot and
         # vice versa).  Flag bit 27 rides above the surfel index (mega is
         # gated on n < 2^27).
+        # Payloads are THINNED by overlaying candidate-only and dummy-only
+        # values in the same stream (sort cost scales with payload count):
+        #   zmeas:  candidate z | dummy measurement depth
+        #   radsnz: candidate camera-space normal z | dummy pixel radius
+        #   mnz is NOT carried — it is recomputed from the broadcast
+        #   mnx/mny with the exact formula that produced it pre-sort
+        #   (-sqrt(max(0, 1-x^2-y^2))), hence bit-identical.  The candidate
+        #   snz cannot be recomputed that way (it comes from the rotation,
+        #   not a unit decomposition), so it rides the radius stream.
         FLAG_ELIG = jnp.int32(1 << 27)
         idx_flags = idx | jnp.where(facing_ok & (radius_col > 0),
                                     FLAG_ELIG, 0)
-        zeros_n2 = jnp.zeros((n2 // 2,), jnp.float32)
         s_in = [
             ab_key,
-            jnp.concatenate([z, z, jnp.full((hw,), jnp.inf, jnp.float32)]),
+            jnp.concatenate([z, z, depth_m_flat]),
             jnp.concatenate([idx_flags, idx_flags,
                              jnp.full((hw,), INVALID_INDEX, jnp.int32)]),
             jnp.concatenate([snx, snx, mnx]),
             jnp.concatenate([sny, sny, mny]),
-            jnp.concatenate([snz, snz, mnz]),
-            jnp.concatenate([zeros_n2, zeros_n2, depth_m_flat]),
-            jnp.concatenate([zeros_n2, zeros_n2, radius_flat]),
-            jnp.concatenate([zeros_n2, zeros_n2, rgb_packed]),
+            jnp.concatenate([snz, snz, radius_flat]),
+            jnp.concatenate([jnp.zeros((n2,), jnp.float32), rgb_packed]),
             src_iota,
         ]
-        (sk, z_s, idx_s, nx_s, ny_s, nz_s, meas_s, rad_s, rgb_s,
+        (sk, zmeas_s, idx_s, nx_s, ny_s, radsnz_s, rgb_s,
          src_s) = jax.lax.sort(s_in, num_keys=1)
         run_key = sk >> 1
-        # Run minimum of z -> first_depth; pixel columns broadcast from the
-        # run-end dummy over the whole run.
-        (minz_s,) = _seg_prefix(run_key, [(z_s, "minf")])
-        first_s, mnx_s, mny_s, mnz_s, measb_s, radb_s, rgbb_s = \
-            _seg_broadcast_last(run_key, [minz_s, nx_s, ny_s, nz_s,
-                                          meas_s, rad_s, rgb_s])
+        is_cand = ((sk & 1) == 0) & (sk < 2 * hw)
+        # Run minimum of candidate z -> first_depth (dummy lanes masked to
+        # inf; the dummy's slot in zmeas carries the measurement instead).
+        (minz_s,) = _seg_prefix(run_key, [
+            (jnp.where(is_cand, zmeas_s, jnp.inf), "minf")])
+        first_s, mnx_s, mny_s, measb_s, radb_s, rgbb_s = \
+            _seg_broadcast_last(run_key, [minz_s, nx_s, ny_s,
+                                          zmeas_s, radsnz_s, rgb_s])
+        mnz_s = -jnp.sqrt(jnp.maximum(0.0, 1.0 - mnx_s * mnx_s -
+                                      mny_s * mny_s))
         # Association flags IN the sorted domain (same formulas as
         # associate_checks; dummies and sentinel-run entries excluded by
-        # is_cand).  nx_s.. hold the candidate's surfel normal; mnx_s..
-        # the broadcast pixel normal.
-        is_cand = ((sk & 1) == 0) & (sk < 2 * hw)
+        # is_cand).  nx_s/ny_s/radsnz_s hold the candidate's surfel normal
+        # at candidate lanes; mnx_s.. the broadcast pixel normal.
         s_on = is_cand & (measb_s > 0)
         s_on = s_on & ~(first_s < (1.0 - noise) * measb_s)
-        s_on = s_on & ~(z_s > (1.0 + noise) * measb_s)
+        s_on = s_on & ~(zmeas_s > (1.0 + noise) * measb_s)
         s_on = s_on & ((idx_s & FLAG_ELIG) != 0)
-        compat_s = (nx_s * mnx_s + ny_s * mny_s + nz_s * mnz_s) >= \
+        compat_s = (nx_s * mnx_s + ny_s * mny_s + radsnz_s * mnz_s) >= \
             cos_compat
-        s_on = s_on & (~(measb_s < z_s) | compat_s)
+        s_on = s_on & (~(measb_s < zmeas_s) | compat_s)
         own_s = idx_s & (FLAG_ELIG - 1)
-        zu_s = jnp.clip(jnp.round(z_s * params.depth_scaling), 0,
+        zu_s = jnp.clip(jnp.round(zmeas_s * params.depth_scaling), 0,
                         (1 << 17) - 1).astype(jnp.int32)
         sup_val = jnp.where(s_on, own_s, INVALID_INDEX)
         packed_val = jnp.where(s_on, zu_s + (1 << SUM_BITS), 0)
@@ -1093,9 +1102,9 @@ def _integrate_body(
         supb_s, packedb_s = _seg_broadcast_last(run_key,
                                                 [sup_red, packed_red])
         restored = jax.lax.sort(
-            [src_s, first_s, supb_s, packedb_s, mnx_s, mny_s, mnz_s,
+            [src_s, first_s, supb_s, packedb_s, mnx_s, mny_s,
              measb_s, radb_s, rgbb_s], num_keys=1)
-        (_, r_first, r_sup, r_packed, r_mnx, r_mny, r_mnz, r_meas, r_rad,
+        (_, r_first, r_sup, r_packed, r_mnx, r_mny, r_meas, r_rad,
          r_rgb) = restored
         first_depth = r_first[n2:]
         supporting_surfels = r_sup[n2:]
@@ -1105,6 +1114,8 @@ def _integrate_body(
         counts_ab = (r_packed[:n2] >> SUM_BITS).astype(jnp.float32)
         rgb_ab = r_rgb[:n2]
         nr = n2 // 2
+        r_mnz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - r_mnx * r_mnx -
+                                      r_mny * r_mny))
         pre_meas_a, pre_meas_b = r_meas[:nr], r_meas[nr:n2]
         pre_first_a, pre_first_b = r_first[:nr], r_first[nr:n2]
         pre_mnx_a, pre_mnx_b = r_mnx[:nr], r_mnx[nr:n2]

@@ -169,6 +169,24 @@ def test_checkpoint_save_and_resume(dataset, tmp_path):
     assert len(b) > 200  # restored surfels exported
 
 
+def test_abort_on_surfel_overflow(dataset, tmp_path):
+    """--abort_on_surfel_overflow restores the reference's fail-fast
+    behavior on exceeding max_surfel_count (README.md:105-107); the default
+    keeps the partial map and exits 0 (documented deviation)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        flags = [f if f != "60000" else "512" for f in BASE_FLAGS]
+        cfg = config_from_args(
+            flags + ["--abort_on_surfel_overflow",
+                     dataset, "groundtruth.txt"])
+        assert run(cfg) == 1          # aborts
+        cfg = config_from_args(flags + [dataset, "groundtruth.txt"])
+        assert run(cfg) == 0          # default: partial map, loud report
+    finally:
+        os.chdir(cwd)
+
+
 def test_auto_active_budget(dataset, tmp_path, caplog):
     """--active_surfel_budget -1 auto-sizes the tiling working set from the
     lagged live count (power-of-2 tile ladder) and surfaces the

@@ -29,7 +29,8 @@ def main():
     from surfelmeshing_tpu.meshing.driver import MeshingDriver
     from surfelmeshing_tpu.ops.fusion import (create_surfel_state,
                                               integrate_frame,
-                                              meshing_snapshot)
+                                              meshing_snapshot,
+                                              meshing_snapshot_delta)
 
     configs = sys.argv[1:] or ["20m:2m"]
     env = build_inputs()
@@ -46,24 +47,56 @@ def main():
         state = jax.device_put(create_surfel_state(cap), device)
         mesher = MeshingDriver()
 
+        import numpy as np
+
         def snapshot(state):
             smooth, radius_sq, normal, stamps, count = \
                 meshing_snapshot(state)
             count = int(count)
             pad = min(1 << max(10, (max(count, 2) - 1).bit_length()),
                       smooth.shape[0])
-            import numpy as np
             return (np.asarray(smooth[:pad])[:count],
                     np.asarray(radius_sq[:pad])[:count],
                     np.asarray(normal[:pad])[:count],
                     np.asarray(stamps[:pad])[:count], count)
+
+        # Delta transport (pipeline.snapshot_for_meshing semantics): ship
+        # only rows changed since the last snapshot — the e2e lever that
+        # kills the ~10 MB/snapshot full-map readback through the tunnel.
+        last_snap = [None]
+        delta_bucket = [1 << 16]
+        rows_shipped = [0]
+        window = 30   # regularization_frame_window_size default
+
+        def tagged_snapshot(state, frame_index):
+            if last_snap[0] is None:
+                out = snapshot(state)
+                last_snap[0] = frame_index
+                rows_shipped[0] += out[4]
+                return ("full",) + out
+            while True:
+                max_rows = min(delta_bucket[0], cap)
+                (idx, pos, rad, nrm, stamps_, total, count) = \
+                    meshing_snapshot_delta(state, jnp.int32(last_snap[0]),
+                                           window, max_rows)
+                total = int(total)
+                if total <= max_rows or max_rows >= cap:
+                    break
+                delta_bucket[0] = 1 << (total - 1).bit_length()
+            m = min(total, max_rows)
+            last_snap[0] = frame_index
+            rows_shipped[0] += m
+            return ("delta", np.asarray(idx[:m]), np.asarray(pos[:m]),
+                    np.asarray(rad[:m]), np.asarray(nrm[:m]),
+                    np.asarray(stamps_[:m]), int(count))
 
         lo, hi = env.lo, env.hi
         warm = 6
         for i in range(lo, lo + warm):
             state = env.step(state, i, params, integrate_frame)
         jax.block_until_ready(state)
-        mesher.submit(*snapshot(state), lo + warm - 1)
+        mesher.submit_snapshot(tagged_snapshot(state, lo + warm - 1),
+                               lo + warm - 1)
 
         t0 = time.perf_counter()
         n = 0
@@ -71,7 +104,7 @@ def main():
         for i in range(lo + warm, hi):
             state = env.step(state, i, params, integrate_frame)
             if mesher.idle():
-                mesher.submit(*snapshot(state), i)
+                mesher.submit_snapshot(tagged_snapshot(state, i), i)
                 snaps += 1
             n += 1
         jax.block_until_ready(state)
@@ -85,6 +118,7 @@ def main():
             "e2e_fps": round(fps, 2),
             "ms_per_frame": round(1000 * elapsed / n, 1),
             "snapshots": snaps,
+            "rows_shipped": int(rows_shipped[0]),
             "triangles": int(tris),
             "surfels": int(state.surfel_count),
         }), flush=True)

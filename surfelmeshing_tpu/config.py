@@ -133,6 +133,16 @@ class SurfelMeshingConfig:
     # kernels.cu:77-87).  0 = off.  Rounds max_surfel_count up to a tile
     # multiple.  TPU-specific flag with no reference equivalent.
     active_surfel_budget: int = 0
+    # Dispatch this many consecutive frames per device launch (a lax.scan
+    # whose body IS the per-frame preprocess+fusion step — identical math,
+    # one RPC).  Each host->device launch costs fixed dispatch latency;
+    # on tunneled/remote TPUs that latency dominates once the device step
+    # is fast, and chunking amortizes it frame_chunk-fold.  The pipeline
+    # defers frames lazily and flushes on any state read (meshing snapshot,
+    # stats, viewer, export), so interactive consumers still see fresh
+    # state — at chunk granularity.  1 = off (every frame its own launch).
+    # TPU-specific throughput flag with no reference equivalent.
+    frame_chunk: int = 1
 
     # Live browser viewer (headless analog of the reference's interactive
     # Qt/OpenGL window, surfel_meshing_render_window.cc:195-430): serve an
@@ -162,6 +172,8 @@ class SurfelMeshingConfig:
         if self.active_surfel_budget < -1:
             raise ValueError("active_surfel_budget must be -1 (auto), 0 "
                              "(off), or a positive working-set size")
+        if self.frame_chunk < 1:
+            raise ValueError("frame_chunk must be >= 1")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -299,6 +311,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "0 = off, -1 = auto-size to ~2x the live count on "
                         "a power-of-2 ladder (TPU-specific; no reference "
                         "equivalent)")
+    p.add_argument("--frame_chunk", type=int, default=d.frame_chunk,
+                   help="dispatch N consecutive frames per device launch "
+                        "(lax.scan; identical math) to amortize per-launch "
+                        "dispatch latency on remote/tunneled TPUs; state "
+                        "reads flush pending frames, so snapshots/stats see "
+                        "fresh state at chunk granularity (TPU-specific; "
+                        "no reference equivalent)")
     p.add_argument("--live_viewer", type=int, default=0, metavar="PORT",
                    help="serve the live WebGL viewer on this port (0=off)")
     p.add_argument("--save_checkpoint", type=str, default=None,
@@ -404,6 +423,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         abort_on_surfel_overflow=args.abort_on_surfel_overflow,
         delta_surfel_transfer=not args.no_delta_surfel_transfer,
         active_surfel_budget=args.active_surfel_budget,
+        frame_chunk=args.frame_chunk,
         live_viewer_port=args.live_viewer,
         save_checkpoint=args.save_checkpoint,
         load_checkpoint=args.load_checkpoint,

@@ -76,9 +76,21 @@ class ReconstructionPipeline:
             # Tiling needs a tile-aligned capacity; round up.
             ts = self.fusion_params.tile_size
             capacity = (capacity + ts - 1) // ts * ts
-        self.state: SurfelState = jax.device_put(
+        self._state: SurfelState = jax.device_put(
             create_surfel_state(capacity), self.device)
         self._log_device_memory()
+
+        # Lazy chunked dispatch (--frame_chunk N): frames are deferred and
+        # run as ONE lax.scan launch of N preprocess+fusion steps (identical
+        # per-frame math), amortizing per-launch dispatch latency on
+        # remote/tunneled TPUs.  Any state read flushes pending frames, so
+        # snapshots/stats/exports always see fresh state.  Diagnostic modes
+        # that need per-frame intermediates disable deferral.
+        self._pending = []
+        self._defer = (config.frame_chunk > 1 and
+                       not config.log_timings_staged and
+                       not config.debug_depth_preprocessing)
+        self._chunk_step = self._build_chunk_step() if self._defer else None
 
         # Resident depth-frame window (ring buffer keyed by frame index),
         # mirroring frame_index_to_depth_buffer (main.cc:904-968).
@@ -96,6 +108,22 @@ class ReconstructionPipeline:
         self._delta_bucket = 1 << 16
         self.snapshot_rows_shipped = 0   # cumulative rows over all snapshots
         self.snapshot_count = 0
+
+    @property
+    def state(self) -> SurfelState:
+        """The surfel map; reading flushes any deferred frames first, so
+        every consumer (snapshots, stats, exports, checkpoints) sees the
+        up-to-date map."""
+        self._flush()
+        return self._state
+
+    @state.setter
+    def state(self, value: SurfelState) -> None:
+        if getattr(self, "_pending", None):
+            raise RuntimeError(
+                "cannot replace pipeline state while deferred frames are "
+                "pending (read .state first to flush them)")
+        self._state = value
 
     def _log_device_memory(self) -> None:
         """Device memory report at init (cudaMemGetInfo analog,
@@ -154,55 +182,34 @@ class ReconstructionPipeline:
            frame_index >= video.frame_count - half_window:
             return None
 
+        if self._defer:
+            # Lazy chunked dispatch: stash this frame's raw inputs (device
+            # depth-buffer refs + host-side pose/color) and run them later
+            # as one scanned launch (_flush).  Per-frame math is identical;
+            # only the launch granularity changes.  Retirement is safe —
+            # the pending entry keeps its own references to the window.
+            depth_buf, others, T = self._frame_window(video, frame_index)
+            self._pending.append(
+                (depth_buf, others, T, self._frame_color(video, frame_index),
+                 *self._frame_pose(video, frame_index), frame_index))
+            self._retire_depth(frame_index - half_window)
+            video.color_frames[frame_index].clear_image()
+            video.depth_frames[frame_index].clear_image()
+            if len(self._pending) >= cfg.frame_chunk:
+                self._flush()
+            return FrameResult(frame_index=frame_index, surfel_count=-1,
+                               merge_count=-1)
+
         t0 = time.perf_counter()
         depth, normals, radius = self._preprocess(video, frame_index)
         t1 = time.perf_counter()
         self.timing.add_time("preprocessing", t1 - t0)
         self._last_stage_ms = {"preprocessing": 1000.0 * (t1 - t0)}
 
-        color = np.asarray(video.color_frames[frame_index].get_image())
-        if color.ndim == 2:
-            color = np.stack([color] * 3, axis=-1)
-        color = color[..., :3].astype(np.uint8)
-        for _ in range(cfg.pyramid_level):
-            # Color pyramid via 2x2 box averaging (ImagePyramid analog,
-            # main.cc:977-980).
-            h2, w2 = color.shape[0] // 2 * 2, color.shape[1] // 2 * 2
-            c = color[:h2, :w2].astype(np.uint16)
-            color = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] +
-                      c[1::2, 1::2] + 2) // 4).astype(np.uint8)
-        # Plane-major (3, H, W) for TPU-friendly tiling.
-        color = np.ascontiguousarray(color.transpose(2, 0, 1))
+        color = self._frame_color(video, frame_index)
+        T_gl, T_lg = self._frame_pose(video, frame_index)
 
-        pose = video.depth_frames[frame_index].global_T_frame
-        T_gl = pose.matrix3x4().astype(np.float32)
-        T_lg = pose.inverse().matrix3x4().astype(np.float32)
-
-        auto_budget = self.config.active_surfel_budget == -1
-        if self.config.use_shape_buckets or auto_budget:
-            # Refresh the (lagged) surfel-count bound.  Only completed
-            # (non-blocking) readbacks update the bound; each un-read frame
-            # adds one creation budget of headroom.
-            budget = self.fusion_params.max_creations_per_frame
-            while self._pending_counts and \
-                    self._pending_counts[0].is_ready():
-                self._count_upper_bound = int(self._pending_counts.pop(0))
-            self._count_upper_bound += budget
-        params = self.fusion_params
-        if self.config.use_shape_buckets:
-            n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
-                1, self._count_upper_bound + budget)))))
-            n_eff = min(n_eff, self.config.max_surfel_count)
-        elif self.config.active_surfel_budget:
-            # Tiled path: the bucket slicer must pass the full capacity
-            # through so _integrate_dispatch engages tiling.
-            n_eff = self.state.pack.shape[0]
-            if auto_budget:
-                params = dataclasses.replace(
-                    params, active_surfel_budget=self._auto_budget())
-            self._current_budget = params.active_surfel_budget
-        else:
-            n_eff = self.config.max_surfel_count
+        params, n_eff = self._pick_params_and_bucket(frames=1)
 
         if self.config.log_timings and self.config.log_timings_staged:
             self._last_stage_ms.update(self._staged_stage_ms(
@@ -218,15 +225,7 @@ class ReconstructionPipeline:
         self.timing.add_time("integration", t1 - t0)
         self._last_stage_ms.setdefault("integration", 1000.0 * (t1 - t0))
 
-        if self.config.use_shape_buckets or auto_budget:
-            # Kick off the async count readback for a later frame's bucket.
-            # Copy the scalar: the state buffer itself is donated next frame.
-            count_handle = self.state.surfel_count + 0
-            self._pending_counts.append(count_handle)
-            try:
-                count_handle.copy_to_host_async()
-            except AttributeError:
-                pass
+        self._queue_count_readback()
 
         # Retire the depth frame that just left the window.
         self._retire_depth(frame_index - half_window)
@@ -236,6 +235,84 @@ class ReconstructionPipeline:
         return FrameResult(frame_index=frame_index,
                            surfel_count=-1,  # fetched lazily via surfel_count()
                            merge_count=-1)
+
+    def _pick_params_and_bucket(self, frames: int):
+        """(params, n_eff) for a dispatch covering `frames` consecutive
+        frames, from the lagged surfel-count bound.  Only completed
+        (non-blocking) readbacks update the bound; each un-read frame adds
+        one creation budget of headroom."""
+        cfg = self.config
+        auto_budget = cfg.active_surfel_budget == -1
+        budget = self.fusion_params.max_creations_per_frame
+        if cfg.use_shape_buckets or auto_budget:
+            while self._pending_counts and \
+                    self._pending_counts[0].is_ready():
+                self._count_upper_bound = int(self._pending_counts.pop(0))
+            self._count_upper_bound += frames * budget
+        params = self.fusion_params
+        if cfg.use_shape_buckets:
+            n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
+                1, self._count_upper_bound + budget)))))
+            n_eff = min(n_eff, cfg.max_surfel_count)
+        elif cfg.active_surfel_budget:
+            # Tiled path: the bucket slicer must pass the full capacity
+            # through so _integrate_dispatch engages tiling.
+            n_eff = self._state.pack.shape[0]
+            if auto_budget:
+                params = dataclasses.replace(
+                    params, active_surfel_budget=self._auto_budget())
+            self._current_budget = params.active_surfel_budget
+        else:
+            n_eff = cfg.max_surfel_count
+        return params, n_eff
+
+    def _queue_count_readback(self) -> None:
+        """Async surfel-count readback for a later dispatch's bucket pick.
+        The scalar is copied: the state buffer itself is donated next
+        dispatch."""
+        if self.config.use_shape_buckets or \
+                self.config.active_surfel_budget == -1:
+            count_handle = self._state.surfel_count + 0
+            self._pending_counts.append(count_handle)
+            try:
+                count_handle.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def _flush(self) -> None:
+        """Run every deferred frame as ONE scanned device launch
+        (--frame_chunk).  Identical per-frame math to the unchunked path;
+        the launch count (and with it per-launch dispatch latency) drops
+        chunk-fold.  Chunk lengths vary when a state read forces an early
+        flush; each (length, bucket) pair compiles once (cacheable)."""
+        if not getattr(self, "_pending", None):
+            return
+        pending, self._pending = self._pending, []
+        c = len(pending)
+        t0 = time.perf_counter()
+        # Early flushes (a state read mid-chunk) leave arbitrary lengths;
+        # dispatch in power-of-2 sub-chunks (largest first) so at most
+        # log2(frame_chunk)+1 scan lengths ever compile per bucket.
+        while pending:
+            size = 1 << (len(pending).bit_length() - 1)
+            entries, pending = pending[:size], pending[size:]
+            depths = jnp.stack([e[0] for e in entries])
+            others = jnp.stack([jnp.stack(e[1]) for e in entries])
+            transforms = jnp.asarray(np.stack([e[2] for e in entries]))
+            colors = jnp.asarray(np.stack([e[3] for e in entries]))
+            t_gl = jnp.asarray(np.stack([e[4] for e in entries]))
+            t_lg = jnp.asarray(np.stack([e[5] for e in entries]))
+            fids = jnp.asarray(np.array([e[6] for e in entries], np.int32))
+            params, n_eff = self._pick_params_and_bucket(frames=size)
+            self._state = self._chunk_step(self._state, depths, others,
+                                           transforms, colors, t_gl, t_lg,
+                                           fids, params=params, n_eff=n_eff)
+        t1 = time.perf_counter()
+        # Preprocessing runs inside the chunk program; the whole chunk is
+        # accounted to "integration" (amortized per frame for the log line).
+        self.timing.add_time("integration", t1 - t0)
+        self._last_stage_ms = {"integration": 1000.0 * (t1 - t0) / c}
+        self._queue_count_readback()
 
     def _staged_stage_ms(self, depth, normals, radius, color, T_gl, T_lg,
                          frame_index, n_eff) -> Dict[str, float]:
@@ -257,16 +334,13 @@ class ReconstructionPipeline:
         return self._staged_timer.measure(self.fusion_params, self.state,
                                           args, n_eff_key)
 
-    def _preprocess(self, video: RGBDVideo, frame_index: int):
+    def _frame_window(self, video: RGBDVideo, frame_index: int):
+        """One frame's resident outlier-filtering window: (reference depth
+        buffer, [K other depth buffers], (K,3,4) other_T_reference in
+        depth-unit space — the driver scales pose translations by
+        depth_scaling, main.cc:1038-1058)."""
         cfg = self.config
-        cam = self.camera
         half_window = cfg.outlier_filtering_frame_count // 2
-
-        depth = self._depth_buffers[frame_index]
-        if cfg.pyramid_level > 0:
-            depth = pp.downscale_median_excluding(
-                depth, 1 << cfg.pyramid_level)
-
         ref_pose_scaled = video.depth_frames[frame_index].global_T_frame \
             .scaled_translation(cfg.depth_scaling)
         others = []
@@ -274,39 +348,55 @@ class ReconstructionPipeline:
         for offset in list(range(-half_window, 0)) + \
                 list(range(1, half_window + 1)):
             other_index = frame_index + offset
-            other = self._depth_buffers[other_index]
-            if cfg.pyramid_level > 0:
-                other = pp.downscale_median_excluding(
-                    other, 1 << cfg.pyramid_level)
-            others.append(other)
+            others.append(self._depth_buffers[other_index])
             other_pose_scaled = video.depth_frames[other_index] \
                 .global_T_frame.scaled_translation(cfg.depth_scaling)
-            # other_T_reference in depth-unit space (main.cc:1038-1058).
             transforms.append(
                 (ref_pose_scaled.inverse() * other_pose_scaled)
                 .inverse().matrix3x4())
-        others = jnp.stack(others)
-        T = jnp.asarray(np.stack(transforms).astype(np.float32))
+        return (self._depth_buffers[frame_index], others,
+                np.stack(transforms).astype(np.float32))
 
+    def _frame_color(self, video: RGBDVideo, frame_index: int) -> np.ndarray:
+        """This frame's color image as plane-major (3, H, W) u8 (TPU-friendly
+        tiling), pyramid-downscaled by 2x2 box averaging (ImagePyramid
+        analog, main.cc:977-980)."""
+        color = np.asarray(video.color_frames[frame_index].get_image())
+        if color.ndim == 2:
+            color = np.stack([color] * 3, axis=-1)
+        color = color[..., :3].astype(np.uint8)
+        for _ in range(self.config.pyramid_level):
+            h2, w2 = color.shape[0] // 2 * 2, color.shape[1] // 2 * 2
+            c = color[:h2, :w2].astype(np.uint16)
+            color = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] +
+                      c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+        return np.ascontiguousarray(color.transpose(2, 0, 1))
+
+    def _frame_pose(self, video: RGBDVideo, frame_index: int):
+        """(global_T_local, local_T_global) 3x4 f32 for the frame."""
+        pose = video.depth_frames[frame_index].global_T_frame
+        return (pose.matrix3x4().astype(np.float32),
+                pose.inverse().matrix3x4().astype(np.float32))
+
+    def _required_inliers(self):
+        cfg = self.config
         required = cfg.outlier_filtering_required_inliers
-        if required == cfg.outlier_filtering_frame_count:
-            required = None
-        elif required == -1:
-            required = None
+        if required in (cfg.outlier_filtering_frame_count, -1):
+            return None   # the all-inlier kernel variant
+        return required
 
-        if cfg.debug_depth_preprocessing:
-            self._dump_preprocessing_stages(depth, others, T, frame_index,
-                                            required)
-
-        return pp.preprocess_frame(
-            depth, others, T,
+    def _pp_kwargs(self) -> dict:
+        """preprocess_frame keyword arguments from the config (the camera is
+        already pyramid-level-adjusted)."""
+        cfg, cam = self.config, self.camera
+        return dict(
             sigma_xy=cfg.bilateral_filter_sigma_xy,
             sigma_value_factor=cfg.bilateral_filter_sigma_depth_factor,
             radius_factor=cfg.bilateral_filter_radius_factor,
             max_depth_u16=int(cfg.depth_scaling * cfg.max_depth),
             depth_valid_region_radius=cfg.depth_valid_region_radius,
             tolerance=cfg.outlier_filtering_depth_tolerance_factor,
-            required_inliers=required,
+            required_inliers=self._required_inliers(),
             erosion_radius=cfg.depth_erosion_radius,
             observation_angle_threshold_deg=(
                 cfg.observation_angle_threshold_deg),
@@ -314,6 +404,57 @@ class ReconstructionPipeline:
             point_radius_extension_factor=cfg.point_radius_extension_factor,
             point_radius_clamp_factor=cfg.point_radius_clamp_factor,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+
+    def _build_chunk_step(self):
+        """The --frame_chunk program: ONE jitted lax.scan whose body is the
+        per-frame preprocess+fusion step (the scan body compiles once, so
+        compile cost does not scale with the chunk length).  CUDA kernel
+        launches are ~us so the reference never needed this; a remote/
+        tunneled TPU pays ~ms of dispatch RPC per launch, which this
+        amortizes chunk-fold."""
+        from .ops.fusion import (_TPU_COMPILER_OPTIONS,
+                                 _integrate_bucketed_impl)
+        ppk = self._pp_kwargs()
+        lvl = self.config.pyramid_level
+
+        def chunk_fn(state, depths, others, transforms, colors, t_gl, t_lg,
+                     fids, params, n_eff):
+            def body(st, xs):
+                d, o, t, c, gl, lg, f = xs
+                if lvl > 0:
+                    d = pp.downscale_median_excluding(d, 1 << lvl)
+                    o = jax.vmap(lambda m: pp.downscale_median_excluding(
+                        m, 1 << lvl))(o)
+                dd, nrm, rad = pp.preprocess_frame(d, o, t, **ppk)
+                return _integrate_bucketed_impl(
+                    st, dd, nrm, rad, c, gl, lg, f, params, n_eff), 0
+            state, _ = jax.lax.scan(
+                body, state,
+                (depths, others, transforms, colors, t_gl, t_lg, fids))
+            return state
+
+        tpu = jax.default_backend() in ("tpu", "axon")
+        return jax.jit(chunk_fn, static_argnames=("params", "n_eff"),
+                       donate_argnums=(0,),
+                       compiler_options=_TPU_COMPILER_OPTIONS if tpu
+                       else None)
+
+    def _preprocess(self, video: RGBDVideo, frame_index: int):
+        cfg = self.config
+        depth, others, transforms = self._frame_window(video, frame_index)
+        if cfg.pyramid_level > 0:
+            depth = pp.downscale_median_excluding(
+                depth, 1 << cfg.pyramid_level)
+            others = [pp.downscale_median_excluding(
+                o, 1 << cfg.pyramid_level) for o in others]
+        others = jnp.stack(others)
+        T = jnp.asarray(transforms)
+
+        if cfg.debug_depth_preprocessing:
+            self._dump_preprocessing_stages(depth, others, T, frame_index,
+                                            self._required_inliers())
+
+        return pp.preprocess_frame(depth, others, T, **self._pp_kwargs())
 
     def _dump_preprocessing_stages(self, depth, others, T, frame_index,
                                    required) -> None:

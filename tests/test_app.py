@@ -64,6 +64,30 @@ def test_full_retriangulation_at_end(dataset, tmp_path):
     assert (tmp_path / "m.obj").exists()
 
 
+def test_frame_chunk_matches_per_frame(dataset, tmp_path):
+    """--frame_chunk N runs N frames per launch via lax.scan whose body is
+    the per-frame step — the exported cloud must be BIT-IDENTICAL to the
+    per-frame dispatch, including with meshing snapshots forcing early
+    flushes at irregular chunk boundaries."""
+    _run(dataset, tmp_path,
+         "--export_point_cloud", str(tmp_path / "ref.ply"))
+    _run(dataset, tmp_path, "--frame_chunk", "3",
+         "--export_point_cloud", str(tmp_path / "chunk.ply"))
+    assert (tmp_path / "ref.ply").read_bytes() == \
+        (tmp_path / "chunk.ply").read_bytes()
+
+
+def test_frame_chunk_with_shape_buckets(dataset, tmp_path):
+    """Chunked dispatch composes with count-proportional shape buckets
+    (the bench configuration)."""
+    _run(dataset, tmp_path, "--use_shape_buckets",
+         "--export_point_cloud", str(tmp_path / "ref.ply"))
+    _run(dataset, tmp_path, "--use_shape_buckets", "--frame_chunk", "4",
+         "--export_point_cloud", str(tmp_path / "chunk.ply"))
+    assert (tmp_path / "ref.ply").read_bytes() == \
+        (tmp_path / "chunk.ply").read_bytes()
+
+
 def test_pyramid_level(dataset, tmp_path):
     _run(dataset, tmp_path, "--pyramid_level", "1",
          "--export_point_cloud", str(tmp_path / "c.ply"))

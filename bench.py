@@ -8,328 +8,170 @@ radii) + the complete 8-phase surfel fusion update, identical to what runs on
 a real dataset; only disk I/O and meshing are excluded, matching the
 reference's "fusion" stage timings (main.cc:1531-1545).
 
+This drives the SHIPPED ReconstructionPipeline (--use_shape_buckets +
+--frame_chunk dispatch) — the measured thing is the shipped thing.  The
+bench itself owns no dispatch policy: it only stages inputs (untimed
+prefetch, main.cc:891-898 analog), warms up, precompiles every bucket the
+pipeline's ladder can reach, and times the frame loop.
+
+Benchmark discipline: NO XLA compile (or persistent-cache executable load)
+may land inside the timed region.  jax_log_compiles is monitored; if a
+compile fires anyway, the run is invalid and is re-run ONCE from a state
+snapshot (everything is compiled by then).  The re-run is reported on
+stderr so a flaky number is never silent.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 30 FPS — the reference's real-time target (main.cc:304-307).
 """
 
 import json
+import logging
+import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-sys.path.insert(0, ".")
+
+class _CompileCounter(logging.Handler):
+    """Counts XLA compiles / compile-cache executable loads.
+
+    With jax_log_compiles=True, JAX logs "Compiling <name> ..." and
+    "... compilation cache hit/miss ..." at WARNING on jax._src.* loggers
+    (jax/_src/interpreters/pxla.py:1941, jax/_src/compiler.py:100); either
+    one inside the timed region means the measurement is polluted."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.count = 0
+
+    def emit(self, record):  # noqa: D102
+        msg = record.getMessage()
+        if "Compiling" in msg or "compilation cache" in msg:
+            self.count += 1
 
 
 def main():
+    SMOKE = os.environ.get("SM_BENCH_SMOKE") == "1"
+
     import jax
+
+    if SMOKE and os.environ.get("SM_BENCH_CPU", "1") == "1":
+        # Smoke mode validates dispatch logic, not device speed: run on CPU
+        # (must be decided before any backend init; see CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: bucket compiles are minutes-long on a
     # tunneled TPU; cache them across bench runs.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_log_compiles", True)
+    counter = _CompileCounter()
+    logging.getLogger("jax").addHandler(counter)
 
-    import jax.numpy as jnp
-
-    from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
-    from surfelmeshing_tpu.ops import preprocess as pp
-    from surfelmeshing_tpu.ops.fusion import (FusionParams,
-                                              create_surfel_state)
+    from surfelmeshing_tpu.config import SurfelMeshingConfig
+    from surfelmeshing_tpu.io.synthetic import synthetic_rgbd_video
+    from surfelmeshing_tpu.pipeline import ReconstructionPipeline
 
     W, H = 640, 480
-    SCALE = 5000.0
     CAP = 500_000
-    K = 8  # outlier_filtering_frame_count
     NUM_FRAMES = 40
-    WARMUP = 8   # two warmup chunks (must be a multiple of CHUNK)
-
-    # Smoke mode (SM_BENCH_SMOKE=1): tiny shapes on whatever backend is
-    # default — validates the dispatch/speculation logic, NOT a benchmark.
-    import os
-    SMOKE = os.environ.get("SM_BENCH_SMOKE") == "1"
+    WARMUP = 8   # warmup frames (multiple of CHUNK)
+    CHUNK = 4
+    STEP = 65_536
+    CREATION_BUDGET = 2**15
     if SMOKE:
         W, H, CAP, NUM_FRAMES = 160, 120, 40_960, 24
-        WARMUP = 4
+        WARMUP, STEP, CREATION_BUDGET = 4, 4_096, 4_096
 
-    seq = SyntheticRGBDSequence(num_frames=NUM_FRAMES, width=W, height=H,
-                                noise_sigma=0.002)
-    cam = seq.camera
-    params = FusionParams(
-        width=W, height=H, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-        depth_scaling=SCALE, do_blending=True, regularization_iterations=1,
-        **({"max_creations_per_frame": 4096} if SMOKE else {}))
+    video, _seq = synthetic_rgbd_video(NUM_FRAMES, W, H, noise_sigma=0.002)
+    cfg = SurfelMeshingConfig(
+        max_surfel_count=CAP,
+        use_shape_buckets=True,
+        shape_bucket_step=STEP,
+        max_creations_per_frame=CREATION_BUDGET,
+        frame_chunk=CHUNK,
+        restrict_fps_to=0,
+    )
+    pipe = ReconstructionPipeline(cfg, video.depth_camera)
 
-    device = jax.devices()[0]
+    half = cfg.outlier_filtering_frame_count // 2
+    lo, hi = half, NUM_FRAMES - half
+    n_timed = (hi - lo - WARMUP) // CHUNK * CHUNK
+    timed = list(range(lo + WARMUP, lo + WARMUP + n_timed))
 
-    # Pre-render frames and upload (I/O excluded, like the reference's
-    # untimed prefetch, main.cc:891-898).
-    depths = []
-    colors = []
-    for i in range(NUM_FRAMES):
-        d, c = seq.depth_and_color(i)
-        depths.append(jax.device_put(jnp.asarray(d), device))
-        colors.append(jax.device_put(
-            jnp.asarray(np.ascontiguousarray(c.transpose(2, 0, 1))), device))
+    # Untimed prefetch: depth windows, colors, pose packs all device-staged;
+    # the timed loop performs dispatch only (no host->device transfers).
+    pipe.prefetch_inputs(video, lo, hi)
 
-    def transforms_for(i):
-        ref = seq.poses[i].scaled_translation(SCALE)
-        mats = []
-        for off in list(range(-K // 2, 0)) + list(range(1, K // 2 + 1)):
-            other = seq.poses[i + off].scaled_translation(SCALE)
-            mats.append((ref.inverse() * other).inverse().matrix3x4())
-        return jnp.asarray(np.stack(mats).astype(np.float32))
+    # Warmup: compiles the early-growth buckets and fills the map.
+    for i in range(lo, lo + WARMUP):
+        pipe.process_frame(video, i)
+    pipe.drain()
 
-    pp_kwargs = dict(
-        sigma_xy=3.0, sigma_value_factor=0.05, radius_factor=2.0,
-        max_depth_u16=int(SCALE * 3.0), depth_valid_region_radius=333.0,
-        tolerance=0.02, required_inliers=None, erosion_radius=2,
-        observation_angle_threshold_deg=85.0, depth_scaling=SCALE,
-        point_radius_extension_factor=1.5,
-        point_radius_clamp_factor=float("inf"),
-        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+    # Precompile EVERY bucket the ladder can reach from here through
+    # capacity (the count bound never decreases, so this is the complete
+    # reachable set — including the conservative top bucket).
+    ladder = pipe.shape_bucket_ladder()
+    print(f"bench: precompiling buckets {ladder}", file=sys.stderr)
+    pipe.precompile_shape_buckets(video, timed[0], ladder)
 
-    state = jax.device_put(create_surfel_state(CAP), device)
+    snap = pipe.snapshot_dispatch_state()
+    fps = None
+    for attempt in range(2):
+        compiles_before = counter.count
+        t0 = time.perf_counter()
+        for i in timed:
+            pipe.process_frame(video, i)
+        pipe.drain()
+        elapsed = time.perf_counter() - t0
+        compiled = counter.count - compiles_before
+        fps = len(timed) / elapsed
+        if compiled == 0:
+            break
+        print(f"bench: {compiled} compile(s) inside the timed region "
+              f"(attempt {attempt + 1}); re-running once from snapshot",
+              file=sys.stderr)
+        pipe.restore_dispatch_state(snap)
+        pipe.prefetch_inputs(video, timed[0], hi)
+    else:
+        print("bench: WARNING — compiles persisted across the re-run; "
+              "the reported number is polluted", file=sys.stderr)
 
-    # Per-frame inputs staged on the device up front (untimed prefetch,
-    # main.cc:891-898 analog): the axon-tunneled host pays ~ms per RPC, so
-    # the timed loop must be dispatch-only — no host math, no small
-    # transfers, ONE executable launch per frame (the fused step below).
-    offs = list(range(-K // 2, 0)) + list(range(1, K // 2 + 1))
-    others_l = [jax.device_put(jnp.stack([depths[i + o] for o in offs]),
-                               device)
-                if K // 2 <= i < NUM_FRAMES - K // 2 else None
-                for i in range(NUM_FRAMES)]
-    transforms_l = [jax.device_put(transforms_for(i), device)
-                    if K // 2 <= i < NUM_FRAMES - K // 2 else None
-                    for i in range(NUM_FRAMES)]
-    T_gl_l = [jax.device_put(
-        jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32)), device)
-        for i in range(NUM_FRAMES)]
-    T_lg_l = [jax.device_put(
-        jnp.asarray(seq.poses[i].inverse().matrix3x4().astype(np.float32)),
-        device) for i in range(NUM_FRAMES)]
-    fid_l = [jax.device_put(jnp.int32(i), device)
-             for i in range(NUM_FRAMES)]
-
-    # ONE fused executable per bucket: preprocessing + 8-phase fusion in a
-    # single launch (the reference runs one CUDA stream, main.cc's frame
-    # loop; two separate jits double the per-frame RPC latency through the
-    # tunnel — measured ~20 ms/frame of host gap vs the device time).
-    from surfelmeshing_tpu.ops.fusion import (_TPU_COMPILER_OPTIONS,
-                                              _integrate_bucketed_impl)
-
-    def _fused(state, depth, others, transforms, color, t_gl, t_lg, fid,
-               n_eff):
-        d, nrm, rad = pp.preprocess_frame(depth, others, transforms,
-                                          **pp_kwargs)
-        return _integrate_bucketed_impl(state, d, nrm, rad, color, t_gl,
-                                        t_lg, fid, params, n_eff)
-
-    # Chunked dispatch: run CHUNK consecutive frames inside ONE executable
-    # via lax.scan (strictly sequential, identical math to CHUNK separate
-    # launches — the scan body IS the per-frame step).  Each launch through
-    # the axon tunnel costs ~20-30 ms of host-side RPC (trace-measured:
-    # device 45.9 ms/frame vs 75 ms wall); chunking amortizes it 4x.  On a
-    # locally-attached TPU both forms are equivalent.
-    CHUNK = 4
-
-    def _fused_chunk(state, depths_k, others_k, transforms_k, colors_k,
-                     t_gl_k, t_lg_k, fids_k, n_eff):
-        def body(st, xs):
-            d, o, t, c, gl, lg, f = xs
-            return _fused(st, d, o, t, c, gl, lg, f, n_eff), 0
-        state, _ = jax.lax.scan(
-            body, state, (depths_k, others_k, transforms_k, colors_k,
-                          t_gl_k, t_lg_k, fids_k))
-        return state
-
-    fused_chunk = jax.jit(_fused_chunk, static_argnames=("n_eff",),
-                          donate_argnums=(0,),
-                          compiler_options=_TPU_COMPILER_OPTIONS
-                          if jax.default_backend() in ("tpu", "axon")
-                          else None)
-
-    def chunk_inputs(i0):
-        """Stacked [CHUNK, ...] inputs, staged on device UNTIMED (prefetch
-        analog, main.cc:891-898)."""
-        idx = list(range(i0, i0 + CHUNK))
-        return tuple(jax.device_put(jnp.stack(xs), device) for xs in (
-            [depths[i] for i in idx], [others_l[i] for i in idx],
-            [transforms_l[i] for i in idx], [colors[i] for i in idx],
-            [T_gl_l[i] for i in idx], [T_lg_l[i] for i in idx],
-            [fid_l[i] for i in idx]))
-
-    # Count-proportional shape buckets (the app's --use_shape_buckets path):
-    # per-surfel streams cost O(n_eff), mirroring the reference's
-    # count-sized kernel grids (cuda_surfel_reconstruction.cc:131-140).
-    #
-    # Bucket policy: SPECULATIVE with rollback.  The reference reads the
-    # surfel count back every frame at PCIe latency (~us) and sizes its
-    # kernel grids exactly; through the axon tunnel a synchronous readback
-    # costs ~30 ms, and a conservative bound (lagged count + CHUNK x
-    # max_creations per outstanding chunk) inflates the bucket by 100k+
-    # rows, scaling every per-surfel stream with it.  Instead each chunk
-    # runs at bucket(lagged_count + small margin); a device-side state
-    # backup is kept for every in-flight chunk, and if the async
-    # count/overflow readback shows the creation clamp fired (creations hit
-    # the bucket edge, counted in overflow_count) the chunk and everything
-    # dispatched after it is REPLAYED from the backup at the conservative
-    # bucket.  Results are therefore always bit-exact vs full shapes
-    # (tests/test_app.py); the optimistic path just runs tighter shapes.
-    BUCKET_STEP = 4_096 if SMOKE else 65_536
-    budget = params.max_creations_per_frame
-    SPEC_MARGIN = 1_024 if SMOKE else 16_384   # creations/chunk the fast path absorbs
-    MAX_INFLIGHT = 2               # chunks in flight (covers tunnel RTT)
-
-    def pick_bucket(bound):
-        """Smallest bucket holding `bound` rows (callers add headroom)."""
-        n_eff = -(-bound // BUCKET_STEP) * BUCKET_STEP
-        return min(max(n_eff, BUCKET_STEP), CAP)
-
-    backup_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
-
-    class _Dispatcher:
-        """Bounded-in-flight chunk dispatch with speculative buckets."""
-
-        def __init__(self, state, count):
-            self.state = state
-            self.count = count          # last CONFIRMED surfel count
-            self.inflight = []          # [(i0, n_eff, backup,
-                                        #   handle(count, overflow))]
-            self.overflow_base = 0
-            self.replays = 0
-
-        def _probe(self, st):
-            h = jnp.stack([st.surfel_count, st.overflow_count])
-            try:
-                h.copy_to_host_async()
-            except AttributeError:
-                pass
-            return h
-
-        def _replay_from(self, k):
-            """Re-run inflight[k:] from its backup at conservative buckets
-            (the slow, always-safe path; only taken when speculation lost).
-            self.count is the TRUE count before chunk k — chunks [0..k)
-            were confirmed by _retire before this is called."""
-            self.replays += 1
-            tail = self.inflight[k:]
-            del self.inflight[:]
-            self.state = tail[0][2]
-            for (i0, _ne, _bk, _h) in tail:
-                n_eff = pick_bucket(self.count + CHUNK * budget)
-                self.state = fused_chunk(self.state, *prestacked[i0],
-                                         n_eff=n_eff)
-                probe = jax.device_get(self._probe(self.state))
-                self.count, self.overflow_base = int(probe[0]), int(probe[1])
-
-        def _retire(self, k_done):
-            """Confirm the first k_done inflight chunks against their
-            readbacks, popping each as it is confirmed so a replay always
-            sees inflight[0] == the failing chunk."""
-            for _ in range(k_done):
-                _i0, n_eff, _bk, h = self.inflight[0]
-                cnt, ovf = (int(v) for v in jax.device_get(h))
-                if ovf > self.overflow_base and n_eff < CAP:
-                    # Speculation lost: creations clamped at the bucket
-                    # edge.  Replay this chunk and everything after it.
-                    self._replay_from(0)
-                    return
-                self.count, self.overflow_base = cnt, ovf
-                self.inflight.pop(0)
-
-        def dispatch(self, i0):
-            if len(self.inflight) >= MAX_INFLIGHT:
-                jax.block_until_ready(self.inflight[0][3])
-                ready = 1
-                while (ready < len(self.inflight) and
-                       self.inflight[ready][3].is_ready()):
-                    ready += 1
-                self._retire(ready)
-            n_eff = pick_bucket(self.count +
-                                SPEC_MARGIN * (len(self.inflight) + 1))
-            bk = backup_state(self.state)
-            self.state = fused_chunk(self.state, *prestacked[i0],
-                                     n_eff=n_eff)
-            self.inflight.append(
-                (i0, n_eff, bk, self._probe(self.state)))
-
-        def drain(self):
-            while self.inflight:
-                jax.block_until_ready(self.inflight[0][3])
-                self._retire(1)
-            jax.block_until_ready(self.state)
-
-    lo, hi = K // 2, NUM_FRAMES - K // 2
-    timed_starts = list(range(lo + WARMUP, hi - CHUNK + 1, CHUNK))
-    prestacked = {i0: chunk_inputs(i0)
-                  for i0 in list(range(lo, lo + WARMUP, CHUNK)) +
-                  timed_starts}
-
-    # Warmup (compile + first frames).  Early frames create at the full
-    # budget, so warmup chunks run serially at the conservative bucket.
-    count = 0
-    for i0 in range(lo, lo + WARMUP, CHUNK):
-        state = fused_chunk(state, *prestacked[i0],
-                            n_eff=pick_bucket(count + CHUNK * budget))
-        count = int(jax.device_get(state.surfel_count))
-    overflow0 = int(jax.device_get(state.overflow_count))
-
-    # Pre-compile only the buckets the timed run can plausibly touch
-    # (speculative ladder from the post-warmup count): compiling the whole
-    # ladder costs minutes per bucket through the tunnel.  Throwaway
-    # executions on a scratch state; compiles are cached per call and
-    # persistently by XLA.
-    base_bucket = pick_bucket(count + SPEC_MARGIN)
-    want = sorted({min(base_bucket + k * BUCKET_STEP, CAP)
-                   for k in range(3)})
-    scratch = jax.device_put(create_surfel_state(CAP), device)
-    for n_eff in want:
-        scratch = fused_chunk(scratch, *prestacked[lo], n_eff=n_eff)
-    jax.block_until_ready(scratch)
-    del scratch
-
-    disp = _Dispatcher(state, count)
-    disp.overflow_base = overflow0
-    t0 = time.perf_counter()
-    n = 0
-    for i0 in timed_starts:
-        disp.dispatch(i0)
-        n += CHUNK
-    disp.drain()
-    elapsed = time.perf_counter() - t0
-    state = disp.state
+    count = pipe.surfel_count()
+    overflow = int(pipe.state.overflow_count)
+    print(f"bench: {len(timed)} timed frames, {1000 * elapsed / len(timed):.1f} "
+          f"ms/frame, surfels={count}, overflow={overflow}", file=sys.stderr)
 
     if SMOKE and os.environ.get("SM_BENCH_CHECK") == "1":
-        # Exactness audit: replay every frame serially at FULL shapes and
-        # compare — proves the speculative bucket/rollback path is lossless.
-        ref = jax.device_put(create_surfel_state(CAP), device)
-        fused1 = jax.jit(_fused, static_argnames=("n_eff",))
-        for i in range(lo, hi):
-            if timed_starts and i >= timed_starts[-1] + CHUNK:
-                break
-            ref = fused1(ref, depths[i], others_l[i], transforms_l[i],
-                         colors[i], T_gl_l[i], T_lg_l[i], fid_l[i],
-                         n_eff=CAP)
-        ok_cnt = int(ref.surfel_count) == int(state.surfel_count)
-        ok_pack = bool(jnp.array_equal(ref.pack, state.pack))
-        d = jnp.abs(ref.pack - state.pack)
+        # Exactness audit: replay every frame through a per-frame,
+        # full-shape pipeline and compare — proves the bucketed chunked
+        # dispatch is lossless.
+        import jax.numpy as jnp
+        ref_cfg = SurfelMeshingConfig(
+            max_surfel_count=CAP, use_shape_buckets=False, frame_chunk=1,
+            max_creations_per_frame=CREATION_BUDGET, restrict_fps_to=0)
+        ref = ReconstructionPipeline(ref_cfg, video.depth_camera)
+        for i in range(lo, timed[-1] + 1):
+            ref.process_frame(video, i)
+        ref.drain()
+        ok_cnt = ref.surfel_count() == count
+        d = jnp.abs(ref.state.pack - pipe.state.pack)
         d = jnp.where(jnp.isnan(d), 0.0, d)
-        frac = float(jnp.mean((d > 0).astype(jnp.float32)))
         print(json.dumps({"smoke_check": {
-            "count_equal": ok_cnt, "pack_equal": ok_pack,
-            "max_abs_diff": float(jnp.max(d)), "diff_frac": round(frac, 6),
-            "replays": disp.replays}}))
+            "count_equal": ok_cnt,
+            "pack_equal": bool(jnp.array_equal(ref.state.pack,
+                                               pipe.state.pack)),
+            "max_abs_diff": float(jnp.max(d)),
+        }}))
         # lax.scan compiles the chunk body as a loop, which changes XLA's
         # FMA-contraction choices vs the straight-line per-frame jit; the
-        # residual is sub-micrometre f32 noise (measured 4e-4 depth units
-        # over 16 frames), not a dispatch-logic difference — counts and
-        # every discrete column stay identical.
-        assert ok_cnt, "speculative dispatch diverged (count)"
-        assert float(jnp.max(d)) <= 1e-2, "speculative dispatch diverged"
+        # residual is sub-micrometre f32 noise, not a dispatch-logic
+        # difference — counts and every discrete column stay identical.
+        assert ok_cnt, "bucketed chunked dispatch diverged (count)"
+        assert float(jnp.max(d)) <= 1e-2, "bucketed chunked dispatch diverged"
 
-    fps = n / elapsed
     print(json.dumps({
         "metric": ("SMOKE_" if SMOKE else "") + "fusion_fps_640x480_500k",
         "value": round(fps, 2),

@@ -108,10 +108,25 @@ class SurfelMeshingConfig:
     profile_dir: Optional[str] = None   # jax.profiler trace output (TPU-side
                                         # analog of the reference's cudaEvent
                                         # stage timing, main.cc:765-796)
-    # Compile the fusion step per power-of-2 surfel-count bucket so its cost
+    # Compile the fusion step per fixed-step surfel-count bucket so its cost
     # tracks the live map size instead of max_surfel_count.  Worth it on
     # locally-attached TPUs; each bucket costs one (cacheable) compile.
     use_shape_buckets: bool = False
+    # Shape-bucket ladder step in surfel rows: the bucketed fusion program
+    # runs over the smallest multiple of this step above the conservative
+    # count bound.  Smaller steps track the live count tighter; each
+    # distinct bucket costs one (cacheable) compile.
+    shape_bucket_step: int = 65_536
+    # Per-frame surfel creation budget (FusionParams.max_creations_per_frame):
+    # creations beyond it are dropped and re-attempted next frame, keeping
+    # the creation scatter small and the count bound tight.
+    max_creations_per_frame: int = 2**15
+    # Maximum dispatches (frames or frame chunks) in flight before blocking
+    # on the oldest count readback.  Bounds BOTH the host run-ahead and the
+    # conservative count headroom (each unconfirmed frame adds one creation
+    # budget to the bucket bound); 2 keeps the device busy across the
+    # readback round-trip without inflating buckets.
+    max_inflight_dispatches: int = 2
     # Reference-parity behavior switch: the reference ABORTS when
     # max_surfel_count is exceeded (README.md:105-107).  The TPU rebuild's
     # default is a documented deviation — keep the partial map, count the
@@ -303,8 +318,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="always ship FULL surfel snapshots to the meshing "
                         "engine instead of changed rows only")
     p.add_argument("--use_shape_buckets", action="store_true",
-                   help="compile the fusion step per power-of-2 surfel-count "
+                   help="compile the fusion step per fixed-step surfel-count "
                         "bucket (TPU-specific; no reference equivalent)")
+    p.add_argument("--shape_bucket_step", type=int,
+                   default=d.shape_bucket_step,
+                   help="shape-bucket ladder step in surfel rows "
+                        "(TPU-specific; no reference equivalent)")
+    p.add_argument("--max_creations_per_frame", type=int,
+                   default=d.max_creations_per_frame,
+                   help="per-frame surfel creation budget; overflowing "
+                        "creations retry next frame (TPU-specific; no "
+                        "reference equivalent)")
+    p.add_argument("--max_inflight_dispatches", type=int,
+                   default=d.max_inflight_dispatches,
+                   help="dispatches in flight before blocking on the oldest "
+                        "surfel-count readback (TPU-specific; no reference "
+                        "equivalent)")
     p.add_argument("--active_surfel_budget", type=int,
                    default=d.active_surfel_budget,
                    help="active-set tiling working-set size in surfels; "
@@ -420,6 +449,9 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         log_timings_staged=args.log_timings_staged,
         profile_dir=args.profile_dir,
         use_shape_buckets=args.use_shape_buckets,
+        shape_bucket_step=args.shape_bucket_step,
+        max_creations_per_frame=args.max_creations_per_frame,
+        max_inflight_dispatches=args.max_inflight_dispatches,
         abort_on_surfel_overflow=args.abort_on_surfel_overflow,
         delta_surfel_transfer=not args.no_delta_surfel_transfer,
         active_surfel_budget=args.active_surfel_budget,

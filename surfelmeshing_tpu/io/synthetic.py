@@ -361,6 +361,56 @@ class SyntheticRGBDSequence:
         return self._cache[i]
 
 
+class ArrayImageFrame:
+    """ImageFrame backed by an in-memory array (no file behind it).
+
+    Matches the io.tum.ImageFrame interface the pipeline consumes;
+    clear_image is a no-op so frames can be replayed (benchmark re-runs)."""
+
+    __slots__ = ("timestamp", "global_T_frame", "_image")
+
+    def __init__(self, image: np.ndarray, timestamp: float,
+                 global_T_frame: SE3):
+        self.timestamp = timestamp
+        self.global_T_frame = global_T_frame
+        self._image = image
+
+    def get_image(self) -> np.ndarray:
+        return self._image
+
+    def clear_image(self) -> None:
+        pass
+
+    @property
+    def frame_T_global(self) -> SE3:
+        return self.global_T_frame.inverse()
+
+
+def synthetic_rgbd_video(num_frames: int = 20, width: int = 640,
+                         height: int = 480, depth_scaling: float = 5000.0,
+                         noise_sigma: float = 0.0, scene: str = "default",
+                         trajectory: str = "arc"):
+    """-> (in-memory RGBDVideo, SyntheticRGBDSequence).
+
+    Pre-renders every frame into ArrayImageFrames so the pipeline can be
+    driven without disk I/O (the reference's first run is disk-bound,
+    README.md:100-103; the bench excludes I/O like the reference's
+    fusion-stage timings, main.cc:1531-1545)."""
+    from .tum import RGBDVideo
+
+    seq = SyntheticRGBDSequence(num_frames, width, height, depth_scaling,
+                                noise_sigma=noise_sigma, scene=scene,
+                                trajectory=trajectory)
+    colors, depths = [], []
+    for i in range(num_frames):
+        d, c = seq.depth_and_color(i)
+        ts = 1000.0 + 0.05 * i
+        colors.append(ArrayImageFrame(c, ts, seq.poses[i]))
+        depths.append(ArrayImageFrame(d, ts, seq.poses[i]))
+    video = RGBDVideo(colors, depths, seq.camera, seq.camera)
+    return video, seq
+
+
 def write_tum_dataset(path: str, num_frames: int = 12, width: int = 160,
                       height: int = 120, depth_scaling: float = 5000.0,
                       scene: str = "default",

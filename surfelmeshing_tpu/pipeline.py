@@ -70,6 +70,7 @@ class ReconstructionPipeline:
             surfel_integration_active_window_size=(
                 config.surfel_integration_active_window_size),
             active_surfel_budget=config.active_surfel_budget,
+            max_creations_per_frame=config.max_creations_per_frame,
         )
         capacity = config.max_surfel_count
         if config.active_surfel_budget:
@@ -93,15 +94,23 @@ class ReconstructionPipeline:
         self._chunk_step = self._build_chunk_step() if self._defer else None
 
         # Resident depth-frame window (ring buffer keyed by frame index),
-        # mirroring frame_index_to_depth_buffer (main.cc:904-968).
+        # mirroring frame_index_to_depth_buffer (main.cc:904-968), plus
+        # optional device-staged color/pose-pack buffers (prefetch_inputs).
         self._depth_buffers: Dict[int, jnp.ndarray] = {}
+        self._color_buffers: Dict[int, jnp.ndarray] = {}
+        self._pose_buffers: Dict[int, jnp.ndarray] = {}
 
-        # Bucketed-shape dispatch: the per-frame fusion program runs over the
-        # next power-of-2 above the surfel count (+ creation headroom), so its
-        # cost tracks the live map size, not the 20M capacity.  The count is
-        # read back asynchronously with one frame of lag.
-        self._count_upper_bound = 0
-        self._pending_counts = []   # 2-frame-lagged async readbacks
+        # Bucketed-shape dispatch bookkeeping: the per-frame fusion program
+        # runs over a fixed-step ladder bucket above a conservative surfel-
+        # count bound, so its cost tracks the live map size, not capacity.
+        # The bound = last CONFIRMED count (async readback, consumed in
+        # dispatch order) + one creation budget for every frame dispatched
+        # since that confirmation — an upper bound on the true count by
+        # construction, so the creation clamp can never fire below capacity
+        # and bucketed results stay bit-exact vs full shapes.
+        self._confirmed_count = 0
+        self._unconfirmed_frames = 0
+        self._pending_counts = []   # FIFO of (async count handle, frames)
 
         # Delta-snapshot state (ship only changed rows to the mesher).
         self._last_snap_frame: Optional[int] = None
@@ -160,6 +169,8 @@ class ReconstructionPipeline:
     def _retire_depth(self, frame_index: int) -> None:
         """Frame retirement (main.cc:1656-1667)."""
         self._depth_buffers.pop(frame_index, None)
+        self._color_buffers.pop(frame_index, None)
+        self._pose_buffers.pop(frame_index, None)
 
     # -- per-frame step -----------------------------------------------------
 
@@ -184,14 +195,12 @@ class ReconstructionPipeline:
 
         if self._defer:
             # Lazy chunked dispatch: stash this frame's raw inputs (device
-            # depth-buffer refs + host-side pose/color) and run them later
-            # as one scanned launch (_flush).  Per-frame math is identical;
-            # only the launch granularity changes.  Retirement is safe —
-            # the pending entry keeps its own references to the window.
-            depth_buf, others, T = self._frame_window(video, frame_index)
-            self._pending.append(
-                (depth_buf, others, T, self._frame_color(video, frame_index),
-                 *self._frame_pose(video, frame_index), frame_index))
+            # depth-buffer refs + pose/color, device-staged when prefetched)
+            # and run them later as one scanned launch (_flush).  Per-frame
+            # math is identical; only the launch granularity changes.
+            # Retirement is safe — the pending entry keeps its own
+            # references to the window.
+            self._pending.append(self._build_entry(video, frame_index))
             self._retire_depth(frame_index - half_window)
             video.color_frames[frame_index].clear_image()
             video.depth_frames[frame_index].clear_image()
@@ -225,7 +234,7 @@ class ReconstructionPipeline:
         self.timing.add_time("integration", t1 - t0)
         self._last_stage_ms.setdefault("integration", 1000.0 * (t1 - t0))
 
-        self._queue_count_readback()
+        self._queue_count_readback(frames=1)
 
         # Retire the depth frame that just left the window.
         self._retire_depth(frame_index - half_window)
@@ -236,24 +245,58 @@ class ReconstructionPipeline:
                            surfel_count=-1,  # fetched lazily via surfel_count()
                            merge_count=-1)
 
+    def _count_bound(self, frames: int = 0) -> int:
+        """Conservative surfel-count upper bound after `frames` more frames:
+        last confirmed count + one creation budget per unconfirmed frame."""
+        budget = self.fusion_params.max_creations_per_frame
+        return self._confirmed_count + \
+            (self._unconfirmed_frames + frames) * budget
+
+    def shape_bucket_for(self, count_bound: int) -> int:
+        """The fixed-step ladder bucket for a surfel-count bound: the
+        smallest multiple of shape_bucket_step holding it, clamped to
+        capacity.  A fixed-step ladder (not power-of-2) keeps per-surfel
+        stream cost within one step of the live count at any map size —
+        the XLA static-shape analog of the reference's count-sized kernel
+        grids (cuda_surfel_reconstruction.cc:131-140)."""
+        step = self.config.shape_bucket_step
+        n_eff = -(-max(count_bound, 1) // step) * step
+        return int(min(max(n_eff, step), self.config.max_surfel_count))
+
+    def shape_bucket_ladder(self) -> list:
+        """Every bucket the shape-bucket policy can pick from the current
+        count bound through capacity (ascending) — the complete precompile
+        set for a run starting now (the count bound never decreases, so no
+        smaller bucket is ever picked later)."""
+        lo = self.shape_bucket_for(
+            self._count_bound(frames=self.config.frame_chunk))
+        step = self.config.shape_bucket_step
+        cap = self.config.max_surfel_count
+        out = list(range(lo, cap, step))
+        out.append(cap)
+        return out
+
+    def _drain_count_readbacks(self, max_outstanding: int) -> None:
+        """Consume completed count readbacks (and BLOCK on the oldest while
+        more than max_outstanding dispatches are unconfirmed — the in-flight
+        throttle that keeps the conservative bound tight)."""
+        pend = self._pending_counts
+        while pend and (len(pend) > max_outstanding or pend[0][0].is_ready()):
+            handle, frames = pend.pop(0)
+            self._confirmed_count = int(jax.device_get(handle))
+            self._unconfirmed_frames -= frames
+
     def _pick_params_and_bucket(self, frames: int):
         """(params, n_eff) for a dispatch covering `frames` consecutive
-        frames, from the lagged surfel-count bound.  Only completed
-        (non-blocking) readbacks update the bound; each un-read frame adds
-        one creation budget of headroom."""
+        frames, from the lagged conservative surfel-count bound."""
         cfg = self.config
         auto_budget = cfg.active_surfel_budget == -1
-        budget = self.fusion_params.max_creations_per_frame
         if cfg.use_shape_buckets or auto_budget:
-            while self._pending_counts and \
-                    self._pending_counts[0].is_ready():
-                self._count_upper_bound = int(self._pending_counts.pop(0))
-            self._count_upper_bound += frames * budget
+            self._drain_count_readbacks(
+                max_outstanding=max(cfg.max_inflight_dispatches - 1, 0))
         params = self.fusion_params
         if cfg.use_shape_buckets:
-            n_eff = max(2 * budget, 1 << int(np.ceil(np.log2(max(
-                1, self._count_upper_bound + budget)))))
-            n_eff = min(n_eff, cfg.max_surfel_count)
+            n_eff = self.shape_bucket_for(self._count_bound(frames))
         elif cfg.active_surfel_budget:
             # Tiled path: the bucket slicer must pass the full capacity
             # through so _integrate_dispatch engages tiling.
@@ -266,18 +309,65 @@ class ReconstructionPipeline:
             n_eff = cfg.max_surfel_count
         return params, n_eff
 
-    def _queue_count_readback(self) -> None:
+    def _queue_count_readback(self, frames: int) -> None:
         """Async surfel-count readback for a later dispatch's bucket pick.
         The scalar is copied: the state buffer itself is donated next
         dispatch."""
         if self.config.use_shape_buckets or \
                 self.config.active_surfel_budget == -1:
             count_handle = self._state.surfel_count + 0
-            self._pending_counts.append(count_handle)
+            self._pending_counts.append((count_handle, frames))
+            self._unconfirmed_frames += frames
             try:
                 count_handle.copy_to_host_async()
             except AttributeError:
                 pass
+
+    def _build_entry(self, video: RGBDVideo, frame_index: int,
+                     consume: bool = True):
+        """One deferred frame's inputs: (depth buffer, others tuple, color,
+        pose pack).  Color and pose pack come from the device-staged
+        prefetch buffers when present (zero host work / transfer at
+        dispatch time) and from host-side conversion otherwise.  The pose
+        pack is ONE flat f32 vector [K*12 outlier transforms | 12 t_gl |
+        12 t_lg | frame_index] so a whole chunk's small per-frame inputs
+        ride in a single array instead of many tiny transfers."""
+        depth_buf, others, transforms = self._frame_window(video, frame_index)
+        take = (lambda d: d.pop(frame_index, None)) if consume else \
+            (lambda d: d.get(frame_index))
+        color = take(self._color_buffers)
+        if color is None:
+            color = self._frame_color(video, frame_index)
+        pack = take(self._pose_buffers)
+        if pack is None:
+            pack = self._pose_pack(transforms,
+                                   *self._frame_pose(video, frame_index),
+                                   frame_index)
+        return (depth_buf, tuple(others), color, pack)
+
+    @staticmethod
+    def _pose_pack(transforms, t_gl, t_lg, frame_index) -> np.ndarray:
+        """Flat f32 pose pack; frame_index rides as f32 (exact < 2**24)."""
+        return np.concatenate([
+            np.asarray(transforms, np.float32).reshape(-1),
+            np.asarray(t_gl, np.float32).reshape(-1),
+            np.asarray(t_lg, np.float32).reshape(-1),
+            np.float32([frame_index])]).astype(np.float32)
+
+    @staticmethod
+    def _stack_entries(entries):
+        """Chunk inputs from deferred entries.  Device-staged colors/packs
+        stay a tuple (stacked INSIDE the jit — zero extra dispatches);
+        host-side ones are stacked here so each rides one transfer."""
+        depths = tuple(e[0] for e in entries)
+        others = tuple(o for e in entries for o in e[1])
+        colors = [e[2] for e in entries]
+        colors = tuple(colors) if isinstance(colors[0], jax.Array) \
+            else jnp.asarray(np.stack(colors))
+        packs = [e[3] for e in entries]
+        packs = tuple(packs) if isinstance(packs[0], jax.Array) \
+            else jnp.asarray(np.stack(packs))
+        return depths, others, colors, packs
 
     def _flush(self) -> None:
         """Run every deferred frame as ONE scanned device launch
@@ -296,23 +386,91 @@ class ReconstructionPipeline:
         while pending:
             size = 1 << (len(pending).bit_length() - 1)
             entries, pending = pending[:size], pending[size:]
-            depths = jnp.stack([e[0] for e in entries])
-            others = jnp.stack([jnp.stack(e[1]) for e in entries])
-            transforms = jnp.asarray(np.stack([e[2] for e in entries]))
-            colors = jnp.asarray(np.stack([e[3] for e in entries]))
-            t_gl = jnp.asarray(np.stack([e[4] for e in entries]))
-            t_lg = jnp.asarray(np.stack([e[5] for e in entries]))
-            fids = jnp.asarray(np.array([e[6] for e in entries], np.int32))
+            depths, others, colors, packs = self._stack_entries(entries)
             params, n_eff = self._pick_params_and_bucket(frames=size)
             self._state = self._chunk_step(self._state, depths, others,
-                                           transforms, colors, t_gl, t_lg,
-                                           fids, params=params, n_eff=n_eff)
+                                           colors, packs, params=params,
+                                           n_eff=n_eff)
+            self._queue_count_readback(frames=size)
         t1 = time.perf_counter()
         # Preprocessing runs inside the chunk program; the whole chunk is
         # accounted to "integration" (amortized per frame for the log line).
         self.timing.add_time("integration", t1 - t0)
         self._last_stage_ms = {"integration": 1000.0 * (t1 - t0) / c}
-        self._queue_count_readback()
+
+    # -- benchmark/driver support (untimed staging + precompile) ------------
+
+    def prefetch_inputs(self, video: RGBDVideo, start: int, stop: int
+                        ) -> None:
+        """Stage every input for frames [start, stop) on the device ahead
+        of the frame loop — the reference's untimed prefetch + dedicated
+        upload stream (main.cc:891-898, 902-984).  After this, deferred
+        dispatch of those frames performs no host->device transfer at all
+        (pose packs and colors are device-resident; chunk stacking happens
+        inside the jitted program)."""
+        cfg = self.config
+        half_window = cfg.outlier_filtering_frame_count // 2
+        for i in range(max(0, start - half_window),
+                       min(video.frame_count, stop + half_window + 1)):
+            self._upload_depth(video, i)
+        lo = max(start, cfg.start_frame + half_window)
+        hi = min(stop, video.frame_count - half_window)
+        for i in range(lo, hi):
+            if i not in self._color_buffers:
+                self._color_buffers[i] = jax.device_put(
+                    jnp.asarray(self._frame_color(video, i)), self.device)
+            if i not in self._pose_buffers:
+                _, _, transforms = self._frame_window(video, i)
+                self._pose_buffers[i] = jax.device_put(jnp.asarray(
+                    self._pose_pack(transforms,
+                                    *self._frame_pose(video, i), i)),
+                    self.device)
+
+    def precompile_shape_buckets(self, video: RGBDVideo, start: int,
+                                 buckets) -> None:
+        """Compile the chunk executable at every given bucket by running it
+        on a throwaway scratch map (untimed warmup; compiles are cached per
+        call signature and persistently by XLA).  A timed loop afterwards
+        never compiles — the benchmark's core invariant."""
+        cfg = self.config
+        half_window = cfg.outlier_filtering_frame_count // 2
+        for i in range(max(0, start - half_window),
+                       start + cfg.frame_chunk + half_window + 1):
+            self._upload_depth(video, i)
+        entries = [self._build_entry(video, i, consume=False)
+                   for i in range(start, start + cfg.frame_chunk)]
+        depths, others, colors, packs = self._stack_entries(entries)
+        scratch = jax.device_put(
+            create_surfel_state(self._state.pack.shape[0]), self.device)
+        for n_eff in buckets:
+            scratch = self._chunk_step(scratch, depths, others, colors,
+                                       packs, params=self.fusion_params,
+                                       n_eff=int(n_eff))
+        jax.block_until_ready(scratch)
+
+    def drain(self) -> None:
+        """Flush deferred frames, consume every outstanding count readback,
+        and wait for the device — a dispatch barrier for benchmarks and
+        teardown."""
+        self._flush()
+        self._drain_count_readbacks(max_outstanding=0)
+        jax.block_until_ready(self._state)
+
+    def snapshot_dispatch_state(self):
+        """Copy of (surfel map, confirmed count) for a later restore —
+        lets a benchmark re-run its timed region from a known point (the
+        map buffers themselves are donated to the next dispatch, so a
+        plain reference would not survive)."""
+        self.drain()
+        return (jax.tree.map(jnp.copy, self._state), self._confirmed_count)
+
+    def restore_dispatch_state(self, snap) -> None:
+        """Restore a snapshot_dispatch_state copy (re-copied, so the same
+        snapshot can be restored again)."""
+        self.drain()
+        self._state = jax.tree.map(jnp.copy, snap[0])
+        self._confirmed_count = snap[1]
+        self._unconfirmed_frames = 0
 
     def _staged_stage_ms(self, depth, normals, radius, color, T_gl, T_lg,
                          frame_index, n_eff) -> Dict[str, float]:
@@ -416,11 +574,24 @@ class ReconstructionPipeline:
                                  _integrate_bucketed_impl)
         ppk = self._pp_kwargs()
         lvl = self.config.pyramid_level
+        K = self.config.outlier_filtering_frame_count
 
-        def chunk_fn(state, depths, others, transforms, colors, t_gl, t_lg,
-                     fids, params, n_eff):
+        def chunk_fn(state, depths, others, colors, packs, params, n_eff):
+            # Per-frame inputs arrive as tuples of device arrays (prefetched
+            # path) or pre-stacked host arrays; stacking tuples HERE keeps
+            # the whole chunk one device launch with no extra dispatches.
+            s = len(depths)
+            d_all = jnp.stack(depths)
+            o_all = jnp.stack(others).reshape((s, K) + others[0].shape)
+            c_all = jnp.stack(colors) if isinstance(colors, tuple) else colors
+            p_all = jnp.stack(packs) if isinstance(packs, tuple) else packs
+
             def body(st, xs):
-                d, o, t, c, gl, lg, f = xs
+                d, o, c, p = xs
+                t = p[:12 * K].reshape(K, 3, 4)
+                gl = p[12 * K:12 * K + 12].reshape(3, 4)
+                lg = p[12 * K + 12:12 * K + 24].reshape(3, 4)
+                f = p[12 * K + 24].astype(jnp.int32)
                 if lvl > 0:
                     d = pp.downscale_median_excluding(d, 1 << lvl)
                     o = jax.vmap(lambda m: pp.downscale_median_excluding(
@@ -429,8 +600,7 @@ class ReconstructionPipeline:
                 return _integrate_bucketed_impl(
                     st, dd, nrm, rad, c, gl, lg, f, params, n_eff), 0
             state, _ = jax.lax.scan(
-                body, state,
-                (depths, others, transforms, colors, t_gl, t_lg, fids))
+                body, state, (d_all, o_all, c_all, p_all))
             return state
 
         tpu = jax.default_backend() in ("tpu", "axon")
@@ -511,7 +681,7 @@ class ReconstructionPipeline:
         c_budget = min(self.fusion_params.max_creations_per_frame,
                        self.camera.width * self.camera.height)
         floor_tiles = c_budget // ts + 2
-        want = 2 * max(self._count_upper_bound, 1)
+        want = 2 * max(self._count_bound(), 1)
         tiles = max(floor_tiles, -(-want // ts))
         tiles = 1 << (tiles - 1).bit_length()
         return int(min(tiles * ts, cap))

@@ -148,12 +148,65 @@ class VideoWriter:
         self.count += 1
 
 
+def debug_triangulate_surfel(mesher, key: str, surfel_index: int,
+                             live_viewer=None) -> bool:
+    """The y/e per-surfel debug-triangulation keys (main.cc:1609-1627):
+    y = force re-triangulation of the selected surfel (SetSurfelToRemesh +
+    Triangulate(force_debug)); e = reset every triangle within its radius
+    first (RemeshTrianglesAt) then re-triangulate.  Logs the surfel's
+    meshing state and, when a live viewer is attached, renders its
+    neighborhood as debug lines (the headless analog of the reference's
+    step-by-step debug rendering).  Returns False when the index is
+    invalid."""
+    if mesher is None:
+        logger.warning("no meshing engine (synchronous_meshing without "
+                       "meshing?)")
+        return False
+    mesher.drain()
+    eng = mesher.engine
+    info = eng.surfel_info(surfel_index)
+    if info is None:
+        logger.warning("surfel %d out of range (engine has %d)",
+                       surfel_index, eng.surfel_count)
+        return False
+    if key == "e":
+        logger.info("Retriangulating surfel %d (radius_squared: %g) ...",
+                    surfel_index, info["radius_sq"])
+        eng.remesh_triangles_at(surfel_index)
+    else:
+        logger.info("Trying to triangulate surfel %d ...", surfel_index)
+        eng.queue_for_remesh(surfel_index)
+    eng.triangulate()
+    after = eng.surfel_info(surfel_index)
+    dists, nbrs = eng.find_neighbors(
+        info["position"], 4.0 * info["radius_sq"], max_count=64,
+        include_completed=True, include_free=True)
+    logger.info(
+        "surfel %d: state %d -> %d, triangles %d -> %d, fronts %d -> %d, "
+        "%d neighbors in 2r, self-check %d", surfel_index, info["state"],
+        after["state"], info["triangles"], after["triangles"],
+        info["fronts"], after["fronts"], len(nbrs),
+        eng.check_surfel_state(surfel_index))
+    if live_viewer is not None and len(nbrs):
+        segs = np.empty((len(nbrs), 2, 3), np.float32)
+        for j, nb in enumerate(nbrs):
+            nb_info = eng.surfel_info(int(nb))
+            segs[j, 0] = info["position"]
+            segs[j, 1] = nb_info["position"] if nb_info is not None \
+                else info["position"]
+        live_viewer.update_debug_lines([(segs, (255, 255, 0))])
+    return True
+
+
 def _terminal_controls(cfg, pipe, mesher, frame_index, input_pose,
-                       recorded_keyframes) -> str:
+                       recorded_keyframes, live_viewer=None) -> str:
     """Terminal key controls (main.cc:1548-1653; reference README
     "Terminal controls"): Return = next frame, q = quit, r = run,
     a/s = regularizer weight x1.1 / /1.1, d = one regularization iteration,
-    t = full retriangulation, p = save mesh now, k = record keyframe."""
+    t = full retriangulation, p = save mesh now, k = record keyframe,
+    'y N' / 'e N' = per-surfel debug triangulation of surfel N
+    (main.cc:1609-1627; the index argument replaces the reference's
+    click-selected surfel on this headless terminal)."""
     import dataclasses as _dc
 
     import jax.numpy as jnp
@@ -162,7 +215,8 @@ def _terminal_controls(cfg, pipe, mesher, frame_index, input_pose,
 
     while True:
         try:
-            cmd = input("[Return=step, q, r, a, s, d, t, p, k] > ").strip()
+            cmd = input(
+                "[Return=step, q, r, a, s, d, t, p, k, y N, e N] > ").strip()
         except EOFError:
             return "quit"
         if cmd == "":
@@ -172,6 +226,15 @@ def _terminal_controls(cfg, pipe, mesher, frame_index, input_pose,
             return "quit"
         if key == "r":
             return "run"
+        if key in ("y", "e"):
+            parts = cmd.split()
+            try:
+                sel = int(parts[1])
+            except (IndexError, ValueError):
+                logger.warning("usage: %s <surfel_index>", key)
+                continue
+            debug_triangulate_surfel(mesher, key, sel, live_viewer)
+            continue
         if key == "a":
             cfg.regularizer_weight *= 1.1
             pipe.fusion_params = _dc.replace(
@@ -392,6 +455,11 @@ def run(cfg: SurfelMeshingConfig) -> int:
         if live_viewer is not None and \
                 (processed_frames % 5 == 0 or mesher is None):
             push_live(input_pose=input_pose)
+        if live_viewer is not None:
+            # y/e debug-triangulation requests from the browser
+            # (main.cc:1609-1627 analog; selection is browser-side).
+            for key, sel in live_viewer.poll_actions():
+                debug_triangulate_surfel(mesher, key, sel, live_viewer)
         if cfg.log_timings:
             pipe.log_frame_timings(frame_index)
         if frame_index % stats_interval == 0:
@@ -419,7 +487,8 @@ def run(cfg: SurfelMeshingConfig) -> int:
                 return 1
         if cfg.step_by_step_playback:
             action = _terminal_controls(cfg, pipe, mesher, frame_index,
-                                        input_pose, recorded_keyframes)
+                                        input_pose, recorded_keyframes,
+                                        live_viewer)
             if action == "quit":
                 break
             if action == "run":

@@ -68,6 +68,9 @@ def _load_library() -> ctypes.CDLL:
     lib.smt_inconsistency_count.restype = ctypes.c_uint
     lib.smt_inconsistency_count.argtypes = [ctypes.c_void_p]
     lib.smt_queue_for_remesh.argtypes = [ctypes.c_void_p, ctypes.c_uint]
+    lib.smt_remesh_triangles_at.argtypes = [ctypes.c_void_p, ctypes.c_uint]
+    lib.smt_get_surfel_info.restype = ctypes.c_int
+    lib.smt_get_surfel_info.argtypes = [ctypes.c_void_p, ctypes.c_uint, f32p]
 
     _lib = lib
     return lib
@@ -201,3 +204,25 @@ class MeshingEngine:
 
     def queue_for_remesh(self, surfel_index: int) -> None:
         self._lib.smt_queue_for_remesh(self._handle, surfel_index)
+
+    def remesh_triangles_at(self, surfel_index: int) -> None:
+        """The 'e' terminal key (reference main.cc:1619-1627): reset all
+        triangles within the surfel's own radius and queue it for
+        re-triangulation by the next triangulate() call."""
+        self._lib.smt_remesh_triangles_at(self._handle, surfel_index)
+
+    def surfel_info(self, surfel_index: int):
+        """Debug info dict for the y/e per-surfel debug-triangulation keys
+        (reference main.cc:1609-1627), or None when out of range."""
+        out = np.zeros(10, np.float32)
+        if self._lib.smt_get_surfel_info(self._handle, surfel_index,
+                                         _f32p(out)) != 0:
+            return None
+        return {
+            "position": out[0:3].copy(),
+            "normal": out[3:6].copy(),
+            "radius_sq": float(out[6]),
+            "state": int(out[7]),       # 0 free, 1 front, 2 completed
+            "triangles": int(out[8]),
+            "fronts": int(out[9]),
+        }

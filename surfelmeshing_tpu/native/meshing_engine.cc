@@ -500,6 +500,30 @@ void MeshingEngine::RemeshTrianglesAround(u32 surfel_index, float radius_sq) {
   }
 }
 
+void MeshingEngine::RemeshTrianglesAt(u32 surfel_index) {
+  // The 'e' terminal key (main.cc:1619-1627): RemeshTrianglesAt(surfel,
+  // surfel->radius_squared()) followed by a debug triangulation pass.
+  if (surfel_index >= surfels_.size()) return;
+  RemeshTrianglesAround(surfel_index, surfels_[surfel_index].radius_sq);
+  remesh_queue_.push_back(surfel_index);
+}
+
+int MeshingEngine::GetSurfelInfo(u32 surfel_index, float* out10) const {
+  if (surfel_index >= surfels_.size()) return -1;
+  const MeshSurfel& s = surfels_[surfel_index];
+  out10[0] = s.pos[0];
+  out10[1] = s.pos[1];
+  out10[2] = s.pos[2];
+  out10[3] = s.normal[0];
+  out10[4] = s.normal[1];
+  out10[5] = s.normal[2];
+  out10[6] = s.radius_sq;
+  out10[7] = static_cast<float>(static_cast<int>(s.state));
+  out10[8] = static_cast<float>(s.tris.size());
+  out10[9] = static_cast<float>(s.fronts.size());
+  return 0;
+}
+
 void MeshingEngine::CheckRemeshing() {
   deleted_triangle_count_ = 0;
 
@@ -1548,6 +1572,15 @@ unsigned smt_inconsistency_count(void* engine) {
 
 void smt_queue_for_remesh(void* engine, unsigned surfel_index) {
   static_cast<smt::MeshingEngine*>(engine)->QueueForRemesh(surfel_index);
+}
+
+void smt_remesh_triangles_at(void* engine, unsigned surfel_index) {
+  static_cast<smt::MeshingEngine*>(engine)->RemeshTrianglesAt(surfel_index);
+}
+
+int smt_get_surfel_info(void* engine, unsigned surfel_index, float* out10) {
+  return static_cast<smt::MeshingEngine*>(engine)->GetSurfelInfo(
+      surfel_index, out10);
 }
 
 }  // extern "C"

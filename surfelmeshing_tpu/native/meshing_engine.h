@@ -121,6 +121,16 @@ class MeshingEngine {
   // (reference: CheckSurfelState, surfel_meshing.cc:2524-2779).
   int CheckSurfelState(u32 surfel_index) const;
 
+  // The 'e' terminal key (reference main.cc:1619-1627): reset all
+  // triangles within the surfel's own radius and queue it, so the next
+  // Triangulate() rebuilds its neighborhood from scratch.
+  void RemeshTrianglesAt(u32 surfel_index);
+
+  // Debug info for the per-surfel debug-triangulation keys (reference
+  // main.cc:1609-1627): out10 = pos[3], normal[3], radius_sq, state,
+  // triangle count, front count.  Returns 0, or -1 when out of range.
+  int GetSurfelInfo(u32 surfel_index, float* out10) const;
+
   // Test hooks.
   void QueueForRemesh(u32 surfel_index);
   const MeshSurfel& surfel(u32 i) const { return surfels_[i]; }

@@ -47,6 +47,8 @@ class LiveViewerServer:
         self._version = 0
         self._pose = b""
         self._debug = struct.pack("<I", 0)
+        self.selected_surfel = -1      # browser shift-click selection
+        self._actions = []             # queued (key, surfel_index) actions
 
         viewer = self
 
@@ -75,6 +77,26 @@ class LiveViewerServer:
                     with viewer._lock:
                         body = viewer._debug
                     self._reply(200, "application/octet-stream", body)
+                elif self.path.startswith("/select?") or \
+                        self.path.startswith("/action?"):
+                    # Surfel selection + y/e debug-triangulation actions
+                    # (the reference's click-selection + y/e keys,
+                    # surfel_meshing_render_window.cc:
+                    # selected_surfel_index / main.cc:1609-1627).
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        idx = int(q.get("i", ["-1"])[0])
+                    except ValueError:
+                        idx = -1
+                    with viewer._lock:
+                        if self.path.startswith("/select?"):
+                            viewer.selected_surfel = idx
+                        else:
+                            key = q.get("k", [""])[0]
+                            if key in ("y", "e") and idx >= 0:
+                                viewer._actions.append((key, idx))
+                    self._reply(200, "text/plain", b"ok")
                 else:
                     self._reply(404, "text/plain", b"not found")
 
@@ -130,6 +152,29 @@ class LiveViewerServer:
                     parts.append(struct.pack("<I4B", len(segs), r, g, b, 0))
                     parts.append(segs.tobytes())
                 self._debug = b"".join(parts)
+
+    def update_debug_lines(self, debug_lines) -> None:
+        """Publish debug line sets only (per-surfel debug triangulation
+        neighborhood rendering, main.cc:1609-1627 analog)."""
+        with self._lock:
+            parts = [struct.pack("<I", len(debug_lines))]
+            for segs, (r, g, b) in debug_lines:
+                segs = np.ascontiguousarray(segs, np.float32)
+                parts.append(struct.pack("<I4B", len(segs), r, g, b, 0))
+                parts.append(segs.tobytes())
+            self._debug = b"".join(parts)
+            # Nudge clients to re-poll (the mesh payload header carries the
+            # version, so patch it in place to keep the two consistent).
+            self._version += 1
+            self._payload = struct.pack("<I", self._version) + \
+                self._payload[4:]
+
+    def poll_actions(self):
+        """Drain queued (key, surfel_index) actions from the browser
+        (y/e debug-triangulation requests)."""
+        with self._lock:
+            actions, self._actions = self._actions, []
+        return actions
 
     def close(self) -> None:
         self._server.shutdown()

@@ -234,3 +234,87 @@ class TestAdversarial:
         assert eng.triangle_count > 400
         states = np.array([eng.meshing_state(i) for i in range(n)])
         assert (states != MeshingEngine.FREE).mean() > 0.7
+
+
+class TestDebugTriangulationKeys:
+    """The y/e per-surfel debug-triangulation keys (main.cc:1609-1627):
+    y = QueueForRemesh + Triangulate(force_debug), e = RemeshTrianglesAt +
+    Triangulate(force_debug)."""
+
+    def _triangulated_plane(self):
+        pos, radius_sq, normals, stamps = plane_surfels(600, seed=7)
+        eng = MeshingEngine()
+        eng.integrate(0, pos, radius_sq, normals, stamps)
+        eng.check_remeshing()
+        eng.triangulate()
+        return eng
+
+    def test_surfel_info(self):
+        eng = self._triangulated_plane()
+        info = eng.surfel_info(0)
+        assert info is not None
+        assert info["radius_sq"] > 0
+        assert np.isfinite(info["position"]).all()
+        assert info["state"] in (0, 1, 2)
+        assert eng.surfel_info(10**6) is None
+
+    def test_y_key_requeues_and_retriangulates(self):
+        eng = self._triangulated_plane()
+        # Pick a completed interior surfel.
+        sel = next(i for i in range(600)
+                   if eng.surfel_info(i)["state"] == 2)
+        before = eng.triangle_count
+        eng.queue_for_remesh(sel)
+        eng.triangulate()
+        assert eng.check_surfel_state(sel) == 0
+        assert eng.triangle_count >= before - 5
+
+    def test_e_key_remeshes_neighborhood(self):
+        eng = self._triangulated_plane()
+        sel = next(i for i in range(600)
+                   if eng.surfel_info(i)["triangles"] > 2)
+        before = eng.triangle_count
+        eng.remesh_triangles_at(sel)
+        # The reset frees the neighborhood's triangles...
+        assert eng.triangle_count < before
+        # ...and the queued debug triangulation rebuilds them.
+        eng.triangulate()
+        assert eng.triangle_count > 0.9 * before
+        assert eng.check_surfel_state(sel) == 0
+
+    def test_app_helper_and_viewer_actions(self):
+        """debug_triangulate_surfel drives the engine through the same path
+        the terminal/browser keys use, and the live viewer queues browser
+        actions."""
+        from surfelmeshing_tpu.app.main import debug_triangulate_surfel
+
+        class _FakeMesher:
+            def __init__(self, eng):
+                self.engine = eng
+
+            def drain(self):
+                pass
+
+        eng = self._triangulated_plane()
+        assert debug_triangulate_surfel(_FakeMesher(eng), "y", 3)
+        assert debug_triangulate_surfel(_FakeMesher(eng), "e", 3)
+        assert not debug_triangulate_surfel(_FakeMesher(eng), "y", 10**7)
+
+        from urllib.request import urlopen
+
+        from surfelmeshing_tpu.viewer.live import LiveViewerServer
+        viewer = LiveViewerServer(port=0)
+        try:
+            base = f"http://127.0.0.1:{viewer.port}"
+            assert urlopen(f"{base}/select?i=5").read() == b"ok"
+            assert viewer.selected_surfel == 5
+            assert urlopen(f"{base}/action?k=e&i=5").read() == b"ok"
+            assert viewer.poll_actions() == [("e", 5)]
+            assert viewer.poll_actions() == []
+            # The debug-line publish path used for neighborhood rendering.
+            segs = np.zeros((4, 2, 3), np.float32)
+            viewer.update_debug_lines([(segs, (255, 255, 0))])
+            body = urlopen(f"{base}/debug").read()
+            assert len(body) == 4 + 8 + 4 * 24
+        finally:
+            viewer.close()

@@ -105,6 +105,10 @@ class SurfelState(NamedTuple):
     merge_count: jnp.ndarray    # () i32
     overflow_count: jnp.ndarray  # () i32: creations dropped at capacity
     skipped_tile_count: jnp.ndarray  # () i32: tiles past the active budget
+    active_tile_count: jnp.ndarray   # () i32: tiles the LAST tiled frame
+                                     #   wanted (frontier + flagged) — the
+                                     #   visible-set demand signal that
+                                     #   auto-sizes the next frame's budget
 
 
 def create_surfel_state(capacity: int) -> SurfelState:
@@ -118,6 +122,7 @@ def create_surfel_state(capacity: int) -> SurfelState:
         merge_count=jnp.zeros((), jnp.int32),
         overflow_count=jnp.zeros((), jnp.int32),
         skipped_tile_count=jnp.zeros((), jnp.int32),
+        active_tile_count=jnp.zeros((), jnp.int32),
     )
 
 
@@ -559,7 +564,8 @@ def _integrate_tiled(
         pack=pack_w, neighbors=nbr_w, nbr_dist=dist_w,
         surfel_count=state.surfel_count,
         merge_count=state.merge_count, overflow_count=state.overflow_count,
-        skipped_tile_count=state.skipped_tile_count + skipped)
+        skipped_tile_count=state.skipped_tile_count + skipped,
+        active_tile_count=total_tiles)
     out = _integrate_body(wstate, depth, normals_xy, radius_img, color,
                           global_T_local, local_T_global, frame_index,
                           params, tiling)
@@ -582,7 +588,8 @@ def _integrate_tiled(
         pack=full_pack, neighbors=full_nbr, nbr_dist=full_dist,
         surfel_count=out.surfel_count,
         merge_count=out.merge_count, overflow_count=out.overflow_count,
-        skipped_tile_count=out.skipped_tile_count)
+        skipped_tile_count=out.skipped_tile_count,
+        active_tile_count=out.active_tile_count)
 
 
 def integrate_frame_bucketed(*args, **kwargs):
@@ -1564,7 +1571,8 @@ def _integrate_body(
         pack=pack, neighbors=neighbors, nbr_dist=nbr_dist,
         surfel_count=surfel_count,
         merge_count=merge_count, overflow_count=overflow_count,
-        skipped_tile_count=state.skipped_tile_count)
+        skipped_tile_count=state.skipped_tile_count,
+        active_tile_count=state.active_tile_count)
 
 
 # ---------------------------------------------------------------------------

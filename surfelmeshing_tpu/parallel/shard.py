@@ -42,6 +42,7 @@ def _state_spec(axis: str) -> SurfelState:
         merge_count=P(),
         overflow_count=P(),
         skipped_tile_count=P(),
+        active_tile_count=P(),
     )
 
 

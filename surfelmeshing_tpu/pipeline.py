@@ -111,6 +111,9 @@ class ReconstructionPipeline:
         self._confirmed_count = 0
         self._unconfirmed_frames = 0
         self._pending_counts = []   # FIFO of (async count handle, frames)
+        # Lagged visible-set demand (state.active_tile_count of the last
+        # confirmed tiled frame) for the auto active-set budget.
+        self._lagged_active_tiles = 0
 
         # Delta-snapshot state (ship only changed rows to the mesher).
         self._last_snap_frame: Optional[int] = None
@@ -283,7 +286,9 @@ class ReconstructionPipeline:
         pend = self._pending_counts
         while pend and (len(pend) > max_outstanding or pend[0][0].is_ready()):
             handle, frames = pend.pop(0)
-            self._confirmed_count = int(jax.device_get(handle))
+            vals = np.asarray(jax.device_get(handle))
+            self._confirmed_count = int(vals[0])
+            self._lagged_active_tiles = int(vals[1])
             self._unconfirmed_frames -= frames
 
     def _pick_params_and_bucket(self, frames: int):
@@ -315,11 +320,12 @@ class ReconstructionPipeline:
         dispatch."""
         if self.config.use_shape_buckets or \
                 self.config.active_surfel_budget == -1:
-            count_handle = self._state.surfel_count + 0
-            self._pending_counts.append((count_handle, frames))
+            handle = jnp.stack([self._state.surfel_count,
+                                self._state.active_tile_count])
+            self._pending_counts.append((handle, frames))
             self._unconfirmed_frames += frames
             try:
-                count_handle.copy_to_host_async()
+                handle.copy_to_host_async()
             except AttributeError:
                 pass
 
@@ -462,7 +468,8 @@ class ReconstructionPipeline:
         map buffers themselves are donated to the next dispatch, so a
         plain reference would not survive)."""
         self.drain()
-        return (jax.tree.map(jnp.copy, self._state), self._confirmed_count)
+        return (jax.tree.map(jnp.copy, self._state), self._confirmed_count,
+                self._lagged_active_tiles)
 
     def restore_dispatch_state(self, snap) -> None:
         """Restore a snapshot_dispatch_state copy (re-copied, so the same
@@ -470,6 +477,7 @@ class ReconstructionPipeline:
         self.drain()
         self._state = jax.tree.map(jnp.copy, snap[0])
         self._confirmed_count = snap[1]
+        self._lagged_active_tiles = snap[2]
         self._unconfirmed_frames = 0
 
     def _staged_stage_ms(self, depth, normals, radius, color, T_gl, T_lg,
@@ -670,19 +678,28 @@ class ReconstructionPipeline:
         dump("5_isolated_removed", d)
 
     def _auto_budget(self) -> int:
-        """Pick the active-set tiling budget ~2x the lagged live count on a
-        power-of-2 tile ladder (bounded compiles), never below the creation
-        frontier requirement and never above capacity (VERDICT r2 #5: the
-        reference sizes its kernel grids to surfel_count each frame,
-        cuda_surfel_reconstruction.cc:131-140; under XLA static shapes the
-        ladder is the analog)."""
+        """Pick the active-set tiling budget from the LAGGED visible-set
+        tile demand (state.active_tile_count: frontier + in-view/recent
+        tiles of the last confirmed frame), doubled for growth headroom, on
+        a power-of-2 tile ladder (bounded compiles) — per-frame cost then
+        tracks the VISIBLE set, not the live map (the reference's
+        count-sized grids + active-window gating cost O(visible) the same
+        way, cuda_surfel_reconstruction.cc:131-140, kernels.cu:77-87).
+        Before any tile demand is observed (first frames), fall back to
+        ~2x the live-count bound — a safe upper seed.  Never below the
+        creation-frontier floor, never above capacity.  A demand jump
+        beyond the 2x headroom skips tiles for the lag window (counted in
+        skipped_tile_count and reported) until the budget catches up."""
         ts = self.fusion_params.tile_size
-        cap = self.state.pack.shape[0]
+        cap = self._state.pack.shape[0]
         c_budget = min(self.fusion_params.max_creations_per_frame,
                        self.camera.width * self.camera.height)
         floor_tiles = c_budget // ts + 2
-        want = 2 * max(self._count_bound(), 1)
-        tiles = max(floor_tiles, -(-want // ts))
+        if self._lagged_active_tiles > 0:
+            want_tiles = 2 * self._lagged_active_tiles
+        else:
+            want_tiles = -(-2 * max(self._count_bound(), 1) // ts)
+        tiles = max(floor_tiles, want_tiles)
         tiles = 1 << (tiles - 1).bit_length()
         return int(min(tiles * ts, cap))
 

@@ -2,25 +2,21 @@
 """Fusion timing sweep across capacities / active-set budgets on the TPU.
 
 Prints one JSON line per config (not the driver bench — see bench.py).
-Usage: python tools/bench_configs.py [config ...] where config is
-"CAP[:BUDGET]" e.g. "500k" "2m:2m" "20m:2m".
+Usage: python tools/bench_configs.py [--trajectory NAME] [config ...]
+where config is "CAP[:BUDGET]" e.g. "500k" "2m:2m" "20m:2m" "20m:-1"
+(-1 = auto budget tracking the lagged visible-set tile demand, the
+pipeline's --active_surfel_budget -1 policy).
 """
 
+import dataclasses
 import json
 import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
-
-def parse_size(s):
-    s = s.lower()
-    mult = 1
-    if s.endswith("k"):
-        mult, s = 1000, s[:-1]
-    elif s.endswith("m"):
-        mult, s = 1_000_000, s[:-1]
-    return int(float(s) * mult)
+from bench_configs_common import BenchEnv, parse_size  # noqa: E402
 
 
 def main():
@@ -31,51 +27,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import jax.numpy as jnp
-    import numpy as np
 
-    from surfelmeshing_tpu.io.synthetic import SyntheticRGBDSequence
-    from surfelmeshing_tpu.ops import preprocess as pp
-    from surfelmeshing_tpu.ops.fusion import (FusionParams,
-                                              create_surfel_state,
+    from surfelmeshing_tpu.ops.fusion import (create_surfel_state,
                                               integrate_frame)
 
-    W, H = 640, 480
-    SCALE = 5000.0
-    K = 8
-    NUM_FRAMES = 40
-    WARMUP = 6
+    args = sys.argv[1:]
+    trajectory = "arc"
+    if "--trajectory" in args:
+        k = args.index("--trajectory")
+        trajectory = args[k + 1]
+        del args[k:k + 2]
+    configs = args or ["500k", "2m:2m", "20m:2m"]
+
     TILE = 4096
-
-    configs = sys.argv[1:] or ["500k", "2m:2m", "20m:2m"]
-
-    seq = SyntheticRGBDSequence(num_frames=NUM_FRAMES, width=W, height=H,
-                                noise_sigma=0.002)
-    cam = seq.camera
+    WARMUP = 6
+    env = BenchEnv(trajectory=trajectory)
     device = jax.devices()[0]
-
-    depths, colors = [], []
-    for i in range(NUM_FRAMES):
-        d, c = seq.depth_and_color(i)
-        depths.append(jax.device_put(jnp.asarray(d), device))
-        colors.append(jax.device_put(
-            jnp.asarray(np.ascontiguousarray(c.transpose(2, 0, 1))), device))
-
-    def transforms_for(i):
-        ref = seq.poses[i].scaled_translation(SCALE)
-        mats = []
-        for off in list(range(-K // 2, 0)) + list(range(1, K // 2 + 1)):
-            other = seq.poses[i + off].scaled_translation(SCALE)
-            mats.append((ref.inverse() * other).inverse().matrix3x4())
-        return jnp.asarray(np.stack(mats).astype(np.float32))
-
-    pp_kwargs = dict(
-        sigma_xy=3.0, sigma_value_factor=0.05, radius_factor=2.0,
-        max_depth_u16=int(SCALE * 3.0), depth_valid_region_radius=333.0,
-        tolerance=0.02, required_inliers=None, erosion_radius=2,
-        observation_angle_threshold_deg=85.0, depth_scaling=SCALE,
-        point_radius_extension_factor=1.5,
-        point_radius_clamp_factor=float("inf"),
-        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
 
     for cfg in configs:
         parts = cfg.split(":")
@@ -83,27 +50,50 @@ def main():
         budget = parse_size(parts[1]) if len(parts) > 1 else 0
         if budget:
             cap = (cap + TILE - 1) // TILE * TILE
-        params = FusionParams(
-            width=W, height=H, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            depth_scaling=SCALE, do_blending=True,
-            regularization_iterations=1,
-            active_surfel_budget=budget, tile_size=TILE)
-
+        auto = budget == -1
+        params = env.make_params(budget=budget, tile=TILE)
         state = jax.device_put(create_surfel_state(cap), device)
 
-        def step(state, i):
-            others = jnp.stack([depths[i + off]
-                                for off in list(range(-K // 2, 0)) +
-                                list(range(1, K // 2 + 1))])
-            d, normals, radius = pp.preprocess_frame(
-                depths[i], others, transforms_for(i), **pp_kwargs)
-            T_gl = jnp.asarray(seq.poses[i].matrix3x4().astype(np.float32))
-            T_lg = jnp.asarray(
-                seq.poses[i].inverse().matrix3x4().astype(np.float32))
-            return integrate_frame(state, d, normals, radius, colors[i],
-                                   T_gl, T_lg, jnp.int32(i), params)
+        # Auto budget (pipeline._auto_budget policy): lagged visible-set
+        # tile demand x2 on a power-of-2 tile ladder; live-count seed
+        # before any demand is observed.
+        lag_count, lag_tiles = 0, 0
+        pending = []
+        c_floor = min(params.max_creations_per_frame, env.W * env.H)
+        floor_tiles = c_floor // TILE + 2
 
-        lo, hi = K // 2, NUM_FRAMES - K // 2
+        def auto_budget():
+            if lag_tiles > 0:
+                want = 2 * lag_tiles
+            else:
+                want = -(-2 * max(lag_count + 2 * 32768, 1) // TILE)
+            tiles = 1 << (max(floor_tiles, want) - 1).bit_length()
+            return int(min(tiles * TILE, cap))
+
+        budgets_used = set()
+
+        def step(state, i):
+            nonlocal lag_count, lag_tiles
+            p = params
+            if auto:
+                while pending and pending[0].is_ready():
+                    import numpy as np
+                    v = np.asarray(jax.device_get(pending.pop(0)))
+                    lag_count, lag_tiles = int(v[0]), int(v[1])
+                b = auto_budget()
+                budgets_used.add(b)
+                p = dataclasses.replace(params, active_surfel_budget=b)
+            state = env.step(state, i, p, integrate_frame)
+            if auto:
+                h = jnp.stack([state.surfel_count, state.active_tile_count])
+                pending.append(h)
+                try:
+                    h.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return state
+
+        lo, hi = env.lo, env.hi
         for i in range(lo, lo + WARMUP):
             state = step(state, i)
         jax.block_until_ready(state)
@@ -117,10 +107,14 @@ def main():
         elapsed = time.perf_counter() - t0
         print(json.dumps({
             "config": cfg, "capacity": cap, "budget": budget,
+            "trajectory": trajectory,
             "fps": round(n / elapsed, 2),
             "ms_per_frame": round(1000 * elapsed / n, 1),
             "surfels": int(state.surfel_count),
             "skipped_tiles": int(state.skipped_tile_count),
+            **({"budgets_used": sorted(budgets_used),
+                "final_active_tiles": int(state.active_tile_count)}
+               if auto else {}),
         }), flush=True)
 
 

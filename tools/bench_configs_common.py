@@ -25,7 +25,7 @@ class BenchEnv:
     K = 8
     NUM_FRAMES = 40
 
-    def __init__(self):
+    def __init__(self, trajectory: str = "arc"):
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -34,7 +34,8 @@ class BenchEnv:
 
         self.jax, self.jnp, self.np = jax, jnp, np
         seq = SyntheticRGBDSequence(num_frames=self.NUM_FRAMES, width=self.W,
-                                    height=self.H, noise_sigma=0.002)
+                                    height=self.H, noise_sigma=0.002,
+                                    trajectory=trajectory)
         self.seq = seq
         self.cam = seq.camera
         device = jax.devices()[0]

@@ -119,13 +119,19 @@ def main():
 
     snap = pipe.snapshot_dispatch_state()
     fps = None
+    trace_dir = os.environ.get("SM_BENCH_TRACE")   # diagnostic only
     for attempt in range(2):
         compiles_before = counter.count
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
         for i in timed:
             pipe.process_frame(video, i)
         pipe.drain()
         elapsed = time.perf_counter() - t0
+        if trace_dir:
+            jax.profiler.stop_trace()
+            trace_dir = None   # trace only the first attempt
         compiled = counter.count - compiles_before
         fps = len(timed) / elapsed
         if compiled == 0:

@@ -789,6 +789,24 @@ def _integrate_body(
     frame_index = jnp.asarray(frame_index, jnp.int32)
     pack = state.pack
 
+    # Merge-phase gather source, built at the TOP of the frame from the
+    # pristine pack (the merge tombstone is the frame's first pack
+    # mutation): pos/normal/radius in ONE <=8-wide concat (fast-gather
+    # rules, PERF.md).  Hoisting lengthens its produce->consume window
+    # across the association sorts so memory-space assignment stages it in
+    # VMEM — traced 6.7 -> ~2 ms at 500k rows when S(1)-placed (round-4
+    # trace, fusion.1753).
+    if tiling is not None:
+        merge_pack0 = tiling.full_pack
+    elif shard is not None:
+        merge_pack0 = jax.lax.all_gather(pack, shard.axis, axis=0,
+                                         tiled=True)
+    else:
+        merge_pack0 = pack
+    merge_src = jnp.concatenate(
+        [merge_pack0[:, PX:PZ + 1], merge_pack0[:, NX:NZ + 1],
+         merge_pack0[:, RAD:RAD + 1]], axis=1)         # 7 cols
+
     def combine_min(img):
         """Combine per-shard scatter maps (identity off the sharded path)."""
         return img if shard is None else jax.lax.pmin(img, shard.axis)
@@ -1064,18 +1082,24 @@ def _integrate_body(
         FLAG_ELIG = jnp.int32(1 << 27)
         idx_flags = idx | jnp.where(facing_ok & (radius_col > 0),
                                     FLAG_ELIG, 0)
+        # The idx stream's dummy lanes are dead (dummies have no surfel),
+        # so the pixel's packed rgb rides there as i32 (u8 triplet < 2^24,
+        # exact) — one payload stream fewer in the key sort.  Candidate
+        # lanes still read idx|flags (is_cand excludes dummies from every
+        # idx consumer); the sentinel run's broadcast picks up a masked
+        # candidate's idx instead of rgb, which only flows into lanes the
+        # on=False masks discard.
         s_in = [
             ab_key,
             jnp.concatenate([z, z, depth_m_flat]),
             jnp.concatenate([idx_flags, idx_flags,
-                             jnp.full((hw,), INVALID_INDEX, jnp.int32)]),
+                             rgb_packed.astype(jnp.int32)]),
             jnp.concatenate([snx, snx, mnx]),
             jnp.concatenate([sny, sny, mny]),
             jnp.concatenate([snz, snz, radius_flat]),
-            jnp.concatenate([jnp.zeros((n2,), jnp.float32), rgb_packed]),
             src_iota,
         ]
-        (sk, zmeas_s, idx_s, nx_s, ny_s, radsnz_s, rgb_s,
+        (sk, zmeas_s, idx_s, nx_s, ny_s, radsnz_s,
          src_s) = jax.lax.sort(s_in, num_keys=1)
         run_key = sk >> 1
         is_cand = ((sk & 1) == 0) & (sk < 2 * hw)
@@ -1085,7 +1109,7 @@ def _integrate_body(
             (jnp.where(is_cand, zmeas_s, jnp.inf), "minf")])
         first_s, mnx_s, mny_s, measb_s, radb_s, rgbb_s = \
             _seg_broadcast_last(run_key, [minz_s, nx_s, ny_s,
-                                          zmeas_s, radsnz_s, rgb_s])
+                                          zmeas_s, radsnz_s, idx_s])
         mnz_s = -jnp.sqrt(jnp.maximum(0.0, 1.0 - mnx_s * mnx_s -
                                       mny_s * mny_s))
         # Association flags IN the sorted domain (same formulas as
@@ -1119,7 +1143,7 @@ def _integrate_body(
         conflicting_surfels = None
         sup_own_ab = r_sup[:n2]
         counts_ab = (r_packed[:n2] >> SUM_BITS).astype(jnp.float32)
-        rgb_ab = r_rgb[:n2]
+        rgb_ab = r_rgb[:n2].astype(jnp.float32)   # i32 (idx-lane overlay)
         nr = n2 // 2
         r_mnz = -jnp.sqrt(jnp.maximum(0.0, 1.0 - r_mnx * r_mnx -
                                       r_mny * r_mny))
@@ -1313,20 +1337,7 @@ def _integrate_body(
     stage("surfel_merging")
     # --- Phase 3 (part 2): merge tombstoning (kernels.cu:1949-1991) -------
     m_on = m_on & (supported != idx) & (supported != INVALID_INDEX)
-    # Narrow row-gather: pos/normal/radius in ONE <=8-wide concat source
-    # (measured fast-gather requirements, PERF.md).  Gathers by global
-    # surfel index read the full pack (still pristine here — the merge
-    # tombstone below is the frame's first pack mutation).
-    if tiling is not None:
-        pack0_src = tiling.full_pack
-    elif shard is not None:
-        pack0_src = sync(pack)      # pack is still pristine here
-    else:
-        pack0_src = pack
-    merge_src = jnp.concatenate(
-        [pack0_src[:, PX:PZ + 1], pack0_src[:, NX:NZ + 1],
-         pack0_src[:, RAD:RAD + 1]], axis=1)         # 7 cols
-    sup_rows = merge_src[_safe_idx(supported, pack0_src.shape[0])]
+    sup_rows = merge_src[_safe_idx(supported, merge_src.shape[0])]
     other_radius = sup_rows[:, 6]
     radius_ratio = radius_col / jnp.where(other_radius != 0,
                                           other_radius, 1e-30)

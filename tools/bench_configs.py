@@ -8,7 +8,6 @@ where config is "CAP[:BUDGET]" e.g. "500k" "2m:2m" "20m:2m" "20m:-1"
 pipeline's --active_surfel_budget -1 policy).
 """
 
-import dataclasses
 import json
 import sys
 import time
@@ -16,7 +15,8 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, "tools")
 
-from bench_configs_common import BenchEnv, parse_size  # noqa: E402
+from bench_configs_common import (AutoBudgetPolicy, BenchEnv,  # noqa: E402
+                                  parse_size)
 
 
 def main():
@@ -25,8 +25,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-    import jax.numpy as jnp
 
     from surfelmeshing_tpu.ops.fusion import (create_surfel_state,
                                               integrate_frame)
@@ -53,44 +51,14 @@ def main():
         auto = budget == -1
         params = env.make_params(budget=budget, tile=TILE)
         state = jax.device_put(create_surfel_state(cap), device)
-
-        # Auto budget (pipeline._auto_budget policy): lagged visible-set
-        # tile demand x2 on a power-of-2 tile ladder; live-count seed
-        # before any demand is observed.
-        lag_count, lag_tiles = 0, 0
-        pending = []
-        c_floor = min(params.max_creations_per_frame, env.W * env.H)
-        floor_tiles = c_floor // TILE + 2
-
-        def auto_budget():
-            if lag_tiles > 0:
-                want = 2 * lag_tiles
-            else:
-                want = -(-2 * max(lag_count + 2 * 32768, 1) // TILE)
-            tiles = 1 << (max(floor_tiles, want) - 1).bit_length()
-            return int(min(tiles * TILE, cap))
-
-        budgets_used = set()
+        policy = AutoBudgetPolicy(cap, TILE, params.max_creations_per_frame,
+                                  env.W, env.H) if auto else None
 
         def step(state, i):
-            nonlocal lag_count, lag_tiles
-            p = params
-            if auto:
-                while pending and pending[0].is_ready():
-                    import numpy as np
-                    v = np.asarray(jax.device_get(pending.pop(0)))
-                    lag_count, lag_tiles = int(v[0]), int(v[1])
-                b = auto_budget()
-                budgets_used.add(b)
-                p = dataclasses.replace(params, active_surfel_budget=b)
+            p = policy.params_for_frame(params) if auto else params
             state = env.step(state, i, p, integrate_frame)
             if auto:
-                h = jnp.stack([state.surfel_count, state.active_tile_count])
-                pending.append(h)
-                try:
-                    h.copy_to_host_async()
-                except AttributeError:
-                    pass
+                policy.observe(state)
             return state
 
         lo, hi = env.lo, env.hi
@@ -112,7 +80,7 @@ def main():
             "ms_per_frame": round(1000 * elapsed / n, 1),
             "surfels": int(state.surfel_count),
             "skipped_tiles": int(state.skipped_tile_count),
-            **({"budgets_used": sorted(budgets_used),
+            **({"budgets_used": sorted(policy.budgets_used),
                 "final_active_tiles": int(state.active_tile_count)}
                if auto else {}),
         }), flush=True)

@@ -97,3 +97,47 @@ def build_inputs():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return BenchEnv()
+
+
+class AutoBudgetPolicy:
+    """The pipeline's --active_surfel_budget -1 policy for standalone
+    tools: lagged (surfel_count, active_tile_count) readbacks size the
+    next frame's tiling budget to 2x the visible-set tile demand on a
+    power-of-2 tile ladder (pipeline._auto_budget; VERDICT r3 #4)."""
+
+    def __init__(self, cap, tile, max_creations, width, height):
+        self.cap, self.tile = cap, tile
+        c_floor = min(max_creations, width * height)
+        self.floor_tiles = c_floor // tile + 2
+        self.max_creations = max_creations
+        self.lag_count = 0
+        self.lag_tiles = 0
+        self.pending = []
+        self.budgets_used = set()
+
+    def params_for_frame(self, params):
+        import dataclasses
+
+        import jax
+        import numpy as np
+        while self.pending and self.pending[0].is_ready():
+            v = np.asarray(jax.device_get(self.pending.pop(0)))
+            self.lag_count, self.lag_tiles = int(v[0]), int(v[1])
+        if self.lag_tiles > 0:
+            want = 2 * self.lag_tiles
+        else:
+            want = -(-2 * max(self.lag_count + 2 * self.max_creations, 1)
+                     // self.tile)
+        tiles = 1 << (max(self.floor_tiles, want) - 1).bit_length()
+        b = int(min(tiles * self.tile, self.cap))
+        self.budgets_used.add(b)
+        return dataclasses.replace(params, active_surfel_budget=b)
+
+    def observe(self, state):
+        import jax.numpy as jnp
+        h = jnp.stack([state.surfel_count, state.active_tile_count])
+        self.pending.append(h)
+        try:
+            h.copy_to_host_async()
+        except AttributeError:
+            pass

@@ -16,7 +16,8 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, "/root/repo")
 
-from bench_configs_common import build_inputs, parse_size  # noqa: E402
+from bench_configs_common import (AutoBudgetPolicy, build_inputs,  # noqa: E402
+                                  parse_size)
 
 
 def main():
@@ -46,6 +47,17 @@ def main():
         device = jax.devices()[0]
         state = jax.device_put(create_surfel_state(cap), device)
         mesher = MeshingDriver()
+        # -1 = auto budget (pipeline --active_surfel_budget -1 policy).
+        policy = AutoBudgetPolicy(
+            cap, TILE, params.max_creations_per_frame, env.W, env.H) \
+            if budget == -1 else None
+
+        def fstep(state, i):
+            p = policy.params_for_frame(params) if policy else params
+            state = env.step(state, i, p, integrate_frame)
+            if policy:
+                policy.observe(state)
+            return state
 
         import numpy as np
 
@@ -93,7 +105,7 @@ def main():
         lo, hi = env.lo, env.hi
         warm = 6
         for i in range(lo, lo + warm):
-            state = env.step(state, i, params, integrate_frame)
+            state = fstep(state, i)
         jax.block_until_ready(state)
         mesher.submit_snapshot(tagged_snapshot(state, lo + warm - 1),
                                lo + warm - 1)
@@ -102,7 +114,7 @@ def main():
         n = 0
         snaps = 0
         for i in range(lo + warm, hi):
-            state = env.step(state, i, params, integrate_frame)
+            state = fstep(state, i)
             if mesher.idle():
                 mesher.submit_snapshot(tagged_snapshot(state, i), i)
                 snaps += 1

@@ -111,6 +111,7 @@ def deviation_matrix(
     trajectories=None,
     noise_sigma: float = 0.0,
     base_params: Optional[FusionParams] = None,
+    modes=None,
 ) -> Dict[str, Dict[str, float]]:
     """-> {"scene/trajectory": {mode: error_mm}} for every combination."""
     if base_params is None:
@@ -122,7 +123,7 @@ def deviation_matrix(
     for scene in (scenes or SCENES):
         for traj in (trajectories or TRAJECTORIES):
             row: Dict[str, float] = {}
-            for mode, kw in MODES:
+            for mode, kw in (modes or MODES):
                 params = dataclasses.replace(base_params, **kw)
                 state, seq = run_fusion_sequence(
                     params, capacity, frames=frames, width=width,

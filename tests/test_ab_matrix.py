@@ -23,9 +23,16 @@ def test_hostile_scene_deviations_bounded():
     """tpu_defaults vs all-reference-exact on occlusion-edge and
     thin-structure scenes with the look-away trajectory: relative accuracy
     loss must stay under 5% (VERDICT r2 #6 criterion)."""
+    # CI endpoints only (defaults vs everything-exact): each extra mode
+    # costs a full XLA compile per scene; the per-deviation isolation runs
+    # in the full matrix tool (PERF.md table; VERDICT r3 #8).
+    from surfelmeshing_tpu.eval.ab_matrix import MODES
+    endpoints = tuple(m for m in MODES if m[0] in ("tpu_defaults",
+                                                   "exact_all"))
     matrix = deviation_matrix(
         frames=5, width=64, height=48, capacity=16384,
-        scenes=("occlusion", "thin"), trajectories=("lookaway",))
+        scenes=("occlusion", "thin"), trajectories=("lookaway",),
+        modes=endpoints)
     for key, row in matrix.items():
         exact = row["exact_all"]
         assert exact < 5.0, (key, row)              # sane reconstruction

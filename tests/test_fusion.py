@@ -595,11 +595,12 @@ class TestDeviationQuantification:
             depth_scaling=SCALE, do_blending=True,
             regularization_iterations=1)
         err = {}
+        # CI runs the two ENDPOINTS (all defaults vs everything exact);
+        # the per-deviation isolation runs in the full matrix tool
+        # (eval/ab_matrix, PERF.md table) — each extra mode costs a full
+        # XLA compile, the dominant cost of this suite (VERDICT r3 #8).
         for name, kw in (
                 ("tpu_defaults", {}),
-                ("exact_reg", dict(symmetric_regularization=False)),
-                ("exact_conflict", dict(exact_conflict_arbitration=True)),
-                ("exact_neighbors", dict(fast_neighbor_update=False)),
                 ("exact_both", dict(symmetric_regularization=False,
                                     exact_conflict_arbitration=True,
                                     fast_neighbor_update=False))):
@@ -608,12 +609,9 @@ class TestDeviationQuantification:
             err[name] = self._scene_error(state)
         print("scene-error by mode:", {k: round(v * 1000, 4)
                                        for k, v in err.items()}, "mm")
-        # Both deviations must stay within 0.1 mm of the exact modes on the
+        # The deviations must stay within 0.1 mm of the exact modes on the
         # synthetic scene (quality-neutral by design; see FusionParams).
         assert abs(err["tpu_defaults"] - err["exact_both"]) < 1e-4
-        assert abs(err["tpu_defaults"] - err["exact_reg"]) < 1e-4
-        assert abs(err["tpu_defaults"] - err["exact_conflict"]) < 1e-4
-        assert abs(err["tpu_defaults"] - err["exact_neighbors"]) < 1e-4
         # And the reconstruction itself must be good in every mode.
         for v in err.values():
             assert v < 0.005

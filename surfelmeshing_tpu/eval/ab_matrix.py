@@ -48,15 +48,19 @@ def run_fusion_sequence(
     scene: str = "default",
     trajectory: str = "arc",
     noise_sigma: float = 0.0,
+    seq: Optional[SyntheticRGBDSequence] = None,
 ) -> Tuple["object", SyntheticRGBDSequence]:
     """Preprocess + fuse a synthetic sequence (the driver loop of
-    app/main.py:224-473 minus meshing/IO) and return the final state."""
+    app/main.py:224-473 minus meshing/IO) and return the final state.
+    Pass `seq` to reuse one rendered sequence across modes (the renders
+    are host-side and dominate wall time at operating scale)."""
     import jax.numpy as jnp
 
-    seq = SyntheticRGBDSequence(num_frames=frames + 2, width=width,
-                                height=height, scene=scene,
-                                trajectory=trajectory,
-                                noise_sigma=noise_sigma)
+    if seq is None:
+        seq = SyntheticRGBDSequence(num_frames=frames + 2, width=width,
+                                    height=height, scene=scene,
+                                    trajectory=trajectory,
+                                    noise_sigma=noise_sigma)
     cam = seq.camera
     scale = seq.depth_scaling
     params = dataclasses.replace(
@@ -96,8 +100,10 @@ def scene_error_mm(state, seq: SyntheticRGBDSequence) -> float:
     surface — the accuracy numerator for the A/B (no mesh file needed)."""
     count = int(state.surfel_count)
     smooth, radius_sq, _, _, _ = meshing_snapshot(state)
-    pts = np.asarray(smooth[:count])
-    alive = np.asarray(radius_sq[:count]) >= 0
+    # pow2 pad so the device slice compiles once per bucket, not per count.
+    pad = min(1 << max(10, (max(count, 2) - 1).bit_length()), smooth.shape[0])
+    pts = np.asarray(smooth[:pad])[:count]
+    alive = np.asarray(radius_sq[:pad])[:count] >= 0
     d = seq.surface_distance(pts[alive])
     return float(d.mean() * 1000.0)
 
@@ -123,12 +129,20 @@ def deviation_matrix(
     for scene in (scenes or SCENES):
         for traj in (trajectories or TRAJECTORIES):
             row: Dict[str, float] = {}
+            seq = SyntheticRGBDSequence(
+                num_frames=frames + 2, width=width, height=height,
+                scene=scene, trajectory=traj, noise_sigma=noise_sigma)
             for mode, kw in (modes or MODES):
                 params = dataclasses.replace(base_params, **kw)
                 state, seq = run_fusion_sequence(
                     params, capacity, frames=frames, width=width,
                     height=height, scene=scene, trajectory=traj,
-                    noise_sigma=noise_sigma)
+                    noise_sigma=noise_sigma, seq=seq)
+                if int(state.overflow_count) > 0:
+                    raise RuntimeError(
+                        f"{scene}/{traj}/{mode}: surfel overflow "
+                        f"({int(state.overflow_count)}) — raise --capacity; "
+                        "a clamped run would bias the deviation bound")
                 row[mode] = scene_error_mm(state, seq)
             out[f"{scene}/{traj}"] = row
     return out

@@ -806,6 +806,15 @@ def _integrate_body(
     merge_src = jnp.concatenate(
         [merge_pack0[:, PX:PZ + 1], merge_pack0[:, NX:NZ + 1],
          merge_pack0[:, RAD:RAD + 1]], axis=1)         # 7 cols
+    if tiling is None:
+        # Barrier: stop XLA from sinking this concat into an HBM-resident
+        # producer fusion.  As a standalone (N,7) buffer with a frame-long
+        # produce->consume window, memory-space assignment can stage it in
+        # VMEM like the sibling S(1) gather sources (~110 vs ~250M idx/s,
+        # PERF.md round-4 trace).  Semantics-neutral.  Skipped when tiling:
+        # there the source is the full-capacity pack and a forced
+        # materialization would copy O(capacity) bytes every frame.
+        merge_src = jax.lax.optimization_barrier(merge_src)
 
     def combine_min(img):
         """Combine per-shard scatter maps (identity off the sharded path)."""

@@ -769,9 +769,13 @@ class ReconstructionPipeline:
             # with the next bucket (compiles once per bucket).
             self._delta_bucket = 1 << (total - 1).bit_length()
         m = min(total, max_rows)
-        out = ("delta", np.asarray(idx[:m]), np.asarray(pos[:m]),
-               np.asarray(rad[:m]), np.asarray(nrm[:m]),
-               np.asarray(stamps[:m]), int(count))
+        # Slice at a pow2 pad (like snapshot()) so the device slice compiles
+        # once per bucket, never per distinct row count — an arbitrary-m
+        # slice would compile a fresh executable inside the frame loop.
+        pad = min(1 << max(10, (max(m, 2) - 1).bit_length()), max_rows)
+        out = ("delta", np.asarray(idx[:pad])[:m], np.asarray(pos[:pad])[:m],
+               np.asarray(rad[:pad])[:m], np.asarray(nrm[:pad])[:m],
+               np.asarray(stamps[:pad])[:m], int(count))
         self._last_snap_frame = frame_index
         self.snapshot_rows_shipped += m
         self.snapshot_count += 1

@@ -1,139 +1,171 @@
 #!/usr/bin/env python
-"""End-to-end bench: preprocessing + fusion + asynchronous meshing FPS.
+"""End-to-end bench: preprocessing + fusion + ASYNC MESHING frames/sec.
 
-The BASELINE north-star config: 640x480 RGB-D, 20M surfel capacity, full
-8-phase fusion with async incremental triangulation pacing snapshots like
-the reference driver (main.cc:1235-1254).  Synthetic sequence (no TUM data
-on this machine).  Prints one JSON line per config.
+Drives the SHIPPED ReconstructionPipeline exactly like bench.py (chunked
+bucketed dispatch, untimed prefetch + precompile, no-compile-in-timed-region
+discipline) and adds the asynchronous meshing thread paced the reference way:
+a snapshot is submitted whenever the mesher is idle (main.cc:1235-1254),
+using the pipeline's delta transport (snapshot_for_meshing) so only changed
+rows cross the tunnel after the first full snapshot.
 
-Usage: python tools/bench_e2e.py [CAP[:BUDGET] ...]   default 20m:2m
+The timed region is the fusion frame loop including snapshot submission —
+the mesher trails asynchronously, exactly as in the reference's driver; its
+final drain is untimed.  If XLA compiles inside the timed region (e.g. the
+auto-budget ladder steps to a new bucket), the attempt is discarded and
+re-run once from a state snapshot with a fresh mesher.
+
+Usage: python tools/bench_e2e.py [CAP[:BUDGET] ...]     default: 500k 20m:-1
+  BUDGET absent/0 -> shape-bucketed full path; -1 -> tiled auto budget;
+  N -> fixed tiled budget.  Prints one JSON line per config.
 """
 
 import json
+import logging
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench_configs_common import (AutoBudgetPolicy, build_inputs,  # noqa: E402
-                                  parse_size)
+from bench_configs_common import parse_size  # noqa: E402
+
+
+class _CompileCounter(logging.Handler):
+    """Counts XLA compiles / cache loads (same contract as bench.py)."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.count = 0
+
+    def emit(self, record):  # noqa: D102
+        msg = record.getMessage()
+        if "Compiling" in msg or "compilation cache" in msg:
+            self.count += 1
+
+
+def run_config(cfg_str, video, counter):
+    from surfelmeshing_tpu.config import SurfelMeshingConfig
+    from surfelmeshing_tpu.meshing.driver import MeshingDriver
+    from surfelmeshing_tpu.pipeline import ReconstructionPipeline
+
+    parts = cfg_str.split(":")
+    cap = parse_size(parts[0])
+    budget = parse_size(parts[1]) if len(parts) > 1 else 0
+
+    CHUNK = 4
+    WARMUP = 8
+    cfg = SurfelMeshingConfig(
+        max_surfel_count=cap,
+        use_shape_buckets=(budget == 0),
+        shape_bucket_step=65_536,
+        max_creations_per_frame=2**15,
+        frame_chunk=CHUNK,
+        active_surfel_budget=budget,
+        restrict_fps_to=0,
+    )
+    pipe = ReconstructionPipeline(cfg, video.depth_camera)
+    mesher = MeshingDriver(cfg)
+
+    half = cfg.outlier_filtering_frame_count // 2
+    lo, hi = half, video.frame_count - half
+    n_timed = (hi - lo - WARMUP) // CHUNK * CHUNK
+    timed = list(range(lo + WARMUP, lo + WARMUP + n_timed))
+
+    pipe.prefetch_inputs(video, lo, hi)
+
+    # Warmup: compiles the early-growth buckets/budgets, fills the map, and
+    # walks the snapshot path (full once, then deltas — ratcheting the delta
+    # row bucket to its steady state so its executables exist before timing).
+    for i in range(lo, lo + WARMUP):
+        pipe.process_frame(video, i)
+        if (i - lo) % CHUNK == CHUNK - 1:
+            mesher.submit_snapshot(pipe.snapshot_for_meshing(i), i)
+            mesher.drain()
+    pipe.drain()
+
+    if cfg.use_shape_buckets:
+        ladder = pipe.shape_bucket_ladder()
+        print(f"bench_e2e[{cfg_str}]: precompiling buckets {ladder}",
+              file=sys.stderr)
+        pipe.precompile_shape_buckets(video, timed[0], ladder)
+
+    snap = pipe.snapshot_dispatch_state()
+    snap_frame, snap_bucket = pipe._last_snap_frame, pipe._delta_bucket
+
+    for attempt in range(2):
+        compiles_before = counter.count
+        rows_before = pipe.snapshot_rows_shipped
+        snaps = 0
+        t0 = time.perf_counter()
+        for k, i in enumerate(timed):
+            pipe.process_frame(video, i)
+            # Snapshot pacing at chunk boundaries (state reads mid-chunk
+            # would force an early flush and change the dispatch shape).
+            if (k + 1) % CHUNK == 0 and mesher.idle():
+                mesher.submit_snapshot(pipe.snapshot_for_meshing(i), i)
+                snaps += 1
+        pipe.drain()
+        elapsed = time.perf_counter() - t0
+        compiled = counter.count - compiles_before
+        if compiled == 0:
+            break
+        print(f"bench_e2e[{cfg_str}]: {compiled} compile(s) in the timed "
+              f"region (attempt {attempt + 1}); re-running from snapshot",
+              file=sys.stderr)
+        pipe.restore_dispatch_state(snap)
+        pipe._delta_bucket = snap_bucket
+        pipe.prefetch_inputs(video, timed[0], hi)
+        mesher.finish()
+        mesher = MeshingDriver(cfg)   # the engine's mesh can't roll back
+        # Untimed full-snapshot re-seed so attempt 2's deltas have a base.
+        pipe._last_snap_frame = None
+        mesher.submit_snapshot(pipe.snapshot_for_meshing(snap_frame),
+                               snap_frame)
+        mesher.drain()
+    else:
+        print(f"bench_e2e[{cfg_str}]: WARNING — compiles persisted across "
+              "the re-run; number is polluted", file=sys.stderr)
+
+    mesher.drain()
+    tris = int(mesher.engine.triangle_count)
+    mesher.finish()
+    fps = len(timed) / elapsed
+    return {
+        "config": cfg_str, "capacity": cap, "budget": budget,
+        "e2e_fps": round(fps, 2),
+        "ms_per_frame": round(1000 * elapsed / len(timed), 1),
+        "snapshots": snaps,
+        "rows_shipped": int(pipe.snapshot_rows_shipped - rows_before),
+        "triangles": tris,
+        "surfels": pipe.surfel_count(),
+        "compiles_in_timed_region": compiled,
+    }
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
+    if os.environ.get("SM_BENCH_SMOKE") == "1":
+        # Smoke mode validates pacing/rollback logic on CPU at toy shapes.
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_log_compiles", True)
+    counter = _CompileCounter()
+    logging.getLogger("jax").addHandler(counter)
 
-    from surfelmeshing_tpu.meshing.driver import MeshingDriver
-    from surfelmeshing_tpu.ops.fusion import (create_surfel_state,
-                                              integrate_frame,
-                                              meshing_snapshot,
-                                              meshing_snapshot_delta)
+    from surfelmeshing_tpu.io.synthetic import synthetic_rgbd_video
 
-    configs = sys.argv[1:] or ["20m:2m"]
-    env = build_inputs()
-    TILE = 4096
-
+    if os.environ.get("SM_BENCH_SMOKE") == "1":
+        video, _seq = synthetic_rgbd_video(24, 160, 120, noise_sigma=0.002)
+        configs = sys.argv[1:] or ["41k", "41k:-1"]
+    else:
+        video, _seq = synthetic_rgbd_video(40, 640, 480, noise_sigma=0.002)
+        configs = sys.argv[1:] or ["500k", "20m:-1"]
     for cfg_str in configs:
-        parts = cfg_str.split(":")
-        cap = parse_size(parts[0])
-        budget = parse_size(parts[1]) if len(parts) > 1 else 0
-        if budget:
-            cap = (cap + TILE - 1) // TILE * TILE
-        params = env.make_params(budget=budget, tile=TILE)
-        device = jax.devices()[0]
-        state = jax.device_put(create_surfel_state(cap), device)
-        mesher = MeshingDriver()
-        # -1 = auto budget (pipeline --active_surfel_budget -1 policy).
-        policy = AutoBudgetPolicy(
-            cap, TILE, params.max_creations_per_frame, env.W, env.H) \
-            if budget == -1 else None
-
-        def fstep(state, i):
-            p = policy.params_for_frame(params) if policy else params
-            state = env.step(state, i, p, integrate_frame)
-            if policy:
-                policy.observe(state)
-            return state
-
-        import numpy as np
-
-        def snapshot(state):
-            smooth, radius_sq, normal, stamps, count = \
-                meshing_snapshot(state)
-            count = int(count)
-            pad = min(1 << max(10, (max(count, 2) - 1).bit_length()),
-                      smooth.shape[0])
-            return (np.asarray(smooth[:pad])[:count],
-                    np.asarray(radius_sq[:pad])[:count],
-                    np.asarray(normal[:pad])[:count],
-                    np.asarray(stamps[:pad])[:count], count)
-
-        # Delta transport (pipeline.snapshot_for_meshing semantics): ship
-        # only rows changed since the last snapshot — the e2e lever that
-        # kills the ~10 MB/snapshot full-map readback through the tunnel.
-        last_snap = [None]
-        delta_bucket = [1 << 16]
-        rows_shipped = [0]
-        window = 30   # regularization_frame_window_size default
-
-        def tagged_snapshot(state, frame_index):
-            if last_snap[0] is None:
-                out = snapshot(state)
-                last_snap[0] = frame_index
-                rows_shipped[0] += out[4]
-                return ("full",) + out
-            while True:
-                max_rows = min(delta_bucket[0], cap)
-                (idx, pos, rad, nrm, stamps_, total, count) = \
-                    meshing_snapshot_delta(state, jnp.int32(last_snap[0]),
-                                           window, max_rows)
-                total = int(total)
-                if total <= max_rows or max_rows >= cap:
-                    break
-                delta_bucket[0] = 1 << (total - 1).bit_length()
-            m = min(total, max_rows)
-            last_snap[0] = frame_index
-            rows_shipped[0] += m
-            return ("delta", np.asarray(idx[:m]), np.asarray(pos[:m]),
-                    np.asarray(rad[:m]), np.asarray(nrm[:m]),
-                    np.asarray(stamps_[:m]), int(count))
-
-        lo, hi = env.lo, env.hi
-        warm = 6
-        for i in range(lo, lo + warm):
-            state = fstep(state, i)
-        jax.block_until_ready(state)
-        mesher.submit_snapshot(tagged_snapshot(state, lo + warm - 1),
-                               lo + warm - 1)
-
-        t0 = time.perf_counter()
-        n = 0
-        snaps = 0
-        for i in range(lo + warm, hi):
-            state = fstep(state, i)
-            if mesher.idle():
-                mesher.submit_snapshot(tagged_snapshot(state, i), i)
-                snaps += 1
-            n += 1
-        jax.block_until_ready(state)
-        elapsed = time.perf_counter() - t0
-        mesher.drain()
-        tris = mesher.engine.triangle_count
-        mesher.finish()
-        fps = n / elapsed
-        print(json.dumps({
-            "config": cfg_str, "capacity": cap, "budget": budget,
-            "e2e_fps": round(fps, 2),
-            "ms_per_frame": round(1000 * elapsed / n, 1),
-            "snapshots": snaps,
-            "rows_shipped": int(rows_shipped[0]),
-            "triangles": int(tris),
-            "surfels": int(state.surfel_count),
-        }), flush=True)
+        print(json.dumps(run_config(cfg_str, video, counter)), flush=True)
 
 
 if __name__ == "__main__":

@@ -1292,25 +1292,33 @@ def _integrate_body(
     n_rows = pix_a_c.shape[0]
     if sorted_maps:
         # Per-candidate supporter/count/rgb(/conflict) came back from the
-        # phase-2 restore sort; only the post-blend depth (a thin lane8
-        # pair) and the adjacent-supporter columns (a pre-blend 4-wide
-        # pack, prefetchable) still need gathers — the 8-wide post-blend
-        # gather pair (the last HBM-source pair, PERF.md) is gone.
-        meas_ab = _gather_flat_lane8(
-            depth_post_flat, jnp.concatenate([pix_a_c, pix_b_c]))
-        meas_a, meas_b = meas_ab[:n_rows], meas_ab[n_rows:]
-        counts_a, counts_b = counts_ab[:n_rows], counts_ab[n_rows:]
-        rgb_a, rgb_b = rgb_ab[:n_rows], rgb_ab[n_rows:]
-        supported = sup_own_ab[:n_rows]
+        # phase-2 restore sort; only the post-blend depth and the
+        # adjacent-supporter columns still need gathers — the 8-wide
+        # post-blend gather pair (the last HBM-source pair, PERF.md) is
+        # gone.
         if params.exact_conflict_arbitration:
+            meas_ab = _gather_flat_lane8(
+                depth_post_flat, jnp.concatenate([pix_a_c, pix_b_c]))
+            meas_a, meas_b = meas_ab[:n_rows], meas_ab[n_rows:]
             conf_a = conf_own_ab[:n_rows]
             conf_b = conf_own_ab[n_rows:]
         else:
+            # The post-blend depth at pixel A rides the adjacent-supporter
+            # gather: ONE 5-wide row gather at pix_a delivers meas_a plus
+            # the 4 neighbor-candidate columns, and pixel B needs only a
+            # thin lane8 depth gather — 2N instead of 3N gather indices
+            # per frame (gather cost is per index stream, PERF.md).
+            img_a5 = jnp.stack([depth_post_flat] + sup_shift, axis=1)
+            rows_a5 = img_a5[pix_a_c]
+            meas_a = rows_a5[:, 0]
+            sup_a_rows = rows_a5[:, 1:5]
+            meas_b = _gather_flat_lane8(depth_post_flat, pix_b_c)
             conf_a = conf_b = None
-            img_supshift = jnp.stack(sup_shift, axis=1)
-            sup_a_rows = img_supshift[pix_a_c]
+        counts_a, counts_b = counts_ab[:n_rows], counts_ab[n_rows:]
+        rgb_a, rgb_b = rgb_ab[:n_rows], rgb_ab[n_rows:]
+        supported = sup_own_ab[:n_rows]
         if params.debug_stop_after <= 3:    # 3 == blending (hoisted)
-            return _dbg_return(meas_ab, counts_ab, rgb_ab)
+            return _dbg_return(meas_a, meas_b, counts_ab, rgb_ab)
     else:
         post_cols = [
             depth_post_flat,                        # 0 meas (post-blend)

@@ -130,12 +130,10 @@ def outlier_depth_map_fusion(
     py_ref = depth_f * (fy_inv * ys.astype(jnp.float32) + cy_inv)
     pz_ref = depth_f
 
-    # NOTE: gathers use flat 1-D indices into the flattened (K*H*W,) stack —
-    # a vmapped 2-D gather lowers to a slow elementwise multi-dim gather on
-    # TPU (slice_sizes={1,1,1}) — and all K lookups ride ONE gather (gather
-    # cost is per index stream).
+    # NOTE: gathers use flat 1-D indices into each frame's flattened (H*W,)
+    # image — a vmapped 2-D gather lowers to a slow elementwise multi-dim
+    # gather on TPU (slice_sizes={1,1,1}).
     hw = height * width
-    others_flat = other_depths.reshape(-1)
 
     flats = []
     front_checks = []
@@ -154,24 +152,40 @@ def outlier_depth_map_fusion(
         vi = v.astype(jnp.int32)
         in_image = (ui >= 0) & (vi >= 0) & (ui < width) & (vi < height)
         flats.append(jnp.clip(vi, 0, height - 1) * width +
-                     jnp.clip(ui, 0, width - 1) + k_static * hw)
+                     jnp.clip(ui, 0, width - 1))
         front_checks.append(front & in_image)
         oz_list.append(oz)
 
-    # u16 gathers run ~4x slower than f32 on TPU: convert first, then one
-    # fused gather for all K lookups.  Width-1 flat gathers run ~2x slower
-    # than 8-wide row gathers (measured, PERF.md), so the source is viewed
-    # as (KHW/8, 8) rows: gather row idx>>3, select lane idx&7.
-    others_flat_f32 = others_flat.astype(jnp.float32)
-    all_flat = jnp.stack([f.reshape(-1) for f in flats]).reshape(-1)
-    if others_flat_f32.shape[0] % 8 == 0:
-        rows = others_flat_f32.reshape(-1, 8)[all_flat >> 3]
-        lane = (all_flat & 7)[:, None]
+    # u16 gathers run ~4x slower than f32 on TPU: convert first.  Width-1
+    # flat gathers run ~2x slower than 8-wide row gathers (PERF.md), so
+    # each source is viewed as (HW/8, 8) rows: gather row idx>>3, select
+    # lane idx&7.  ONE gather PER other frame — each (HW/8, 8) f32 source
+    # is ~1.2 MB and stays fully VMEM-resident, which probes 7x faster than
+    # one fused K*HW-index gather from the (K*HW/8, 8) stack (2005M vs
+    # 282M idx/s, tools/outlier_probe.py; traced 8.2 -> ~1.5 ms/frame at
+    # 640x480 K=8).  Same values gathered either way — bit-exact.
+    if hw % 8 == 0:
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-        sampled_flat = jnp.sum(jnp.where(lane == iota8, rows, 0.0), axis=1)
+        sampled = []
+        for k_static in range(k):
+            src = other_depths[k_static].reshape(-1, 8).astype(jnp.float32)
+            # Barrier: materialize the converted per-frame source as a
+            # standalone buffer (else XLA fuses the u16->f32 conversion
+            # into the gather and reads u16 from HBM at the 4x-slower u16
+            # gather rate); as a (HW/8, 8) f32 value it is VMEM-stageable.
+            src = jax.lax.optimization_barrier(src)
+            idx = flats[k_static].reshape(-1)
+            rows = src[idx >> 3]
+            lane = (idx & 7)[:, None]
+            sampled.append(jnp.sum(jnp.where(lane == iota8, rows, 0.0),
+                                   axis=1).reshape(height, width))
+        sampled_all = jnp.stack(sampled)
     else:
-        sampled_flat = others_flat_f32[all_flat]
-    sampled_all = sampled_flat.reshape(k, height, width)
+        others_flat_f32 = other_depths.reshape(-1).astype(jnp.float32)
+        all_flat = jnp.stack(
+            [f.reshape(-1) + i * hw for i, f in enumerate(flats)]
+        ).reshape(-1)
+        sampled_all = others_flat_f32[all_flat].reshape(k, height, width)
 
     ok_count = jnp.zeros((height, width), jnp.int32)
     for k_static in range(k):

@@ -20,6 +20,16 @@ compile fires anyway, the run is invalid and is re-run ONCE from a state
 snapshot (everything is compiled by then).  The re-run is reported on
 stderr so a flaky number is never silent.
 
+Time budget: the whole run is boxed to SM_BENCH_BUDGET_S wall seconds
+(default 1500).  The bucket ladder is precompiled TOP-DOWN (capacity
+first) with a budget check before each bucket; if the cache is cold and
+the full ladder cannot compile in budget, dispatch is restricted to the
+compiled subset (pipeline.set_allowed_buckets — rounds bucket picks UP,
+bit-exact, just more dead-row padding) and the JSON line carries
+"degraded": true.  A cold cache costs ONE mandatory top-bucket compile;
+the run always ends with a measured number (the reference always logs
+its timings, main.cc:1531-1545).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 30 FPS — the reference's real-time target (main.cc:304-307).
 """
@@ -52,7 +62,10 @@ class _CompileCounter(logging.Handler):
 
 
 def main():
+    t_start = time.perf_counter()
     SMOKE = os.environ.get("SM_BENCH_SMOKE") == "1"
+    budget_s = float(os.environ.get("SM_BENCH_BUDGET_S", "1500"))
+    deadline = t_start + budget_s
 
     import jax
 
@@ -105,17 +118,39 @@ def main():
     # the timed loop performs dispatch only (no host->device transfers).
     pipe.prefetch_inputs(video, lo, hi)
 
-    # Warmup: compiles the early-growth buckets and fills the map.
+    # Precompile the complete reachable bucket ladder (from frame 0's bound
+    # through capacity — the count bound never decreases), TOP-DOWN with a
+    # wall-budget check before each bucket.  The top (capacity) bucket is
+    # mandatory — without one executable there is no number at all — so it
+    # compiles regardless of budget; every further (smaller, cheaper-to-run)
+    # bucket is optional.  Whatever subset got compiled becomes the allowed
+    # dispatch set; with a warm persistent cache this loads the full ladder
+    # in seconds.
+    ladder = sorted(pipe.shape_bucket_ladder(), reverse=True)
+    print(f"bench: ladder (top-down) {ladder}, budget {budget_s:.0f}s",
+          file=sys.stderr)
+    compiled, longest = [], 0.0
+    for n_eff in ladder:
+        remaining = deadline - time.perf_counter()
+        # Reserve time for warmup + timed loop (~60 s warm); require head-
+        # room of the worst compile seen so far (min 120 s) per new bucket.
+        if compiled and remaining < max(1.3 * longest, 120.0) + 60.0:
+            print(f"bench: budget exhausted after {len(compiled)} bucket(s);"
+                  f" skipping {n_eff} and below", file=sys.stderr)
+            break
+        t0 = time.perf_counter()
+        pipe.precompile_shape_buckets(video, timed[0], [n_eff])
+        dt = time.perf_counter() - t0
+        longest = max(longest, dt)
+        compiled.append(n_eff)
+        print(f"bench: bucket {n_eff} ready in {dt:.1f}s", file=sys.stderr)
+    degraded = len(compiled) < len(ladder)
+    pipe.set_allowed_buckets(compiled)
+
+    # Warmup: fills the map; dispatches only at precompiled buckets.
     for i in range(lo, lo + WARMUP):
         pipe.process_frame(video, i)
     pipe.drain()
-
-    # Precompile EVERY bucket the ladder can reach from here through
-    # capacity (the count bound never decreases, so this is the complete
-    # reachable set — including the conservative top bucket).
-    ladder = pipe.shape_bucket_ladder()
-    print(f"bench: precompiling buckets {ladder}", file=sys.stderr)
-    pipe.precompile_shape_buckets(video, timed[0], ladder)
 
     snap = pipe.snapshot_dispatch_state()
     fps = None
@@ -178,12 +213,18 @@ def main():
         assert ok_cnt, "bucketed chunked dispatch diverged (count)"
         assert float(jnp.max(d)) <= 1e-2, "bucketed chunked dispatch diverged"
 
-    print(json.dumps({
+    out = {
         "metric": ("SMOKE_" if SMOKE else "") + "fusion_fps_640x480_500k",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+    if degraded:
+        # Budget-boxed precompile stopped early: timed frames ran at the
+        # nearest compiled bucket ABOVE their bound (bit-exact; extra
+        # dead-row padding), so the value understates a warm-cache run.
+        out["degraded"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,8 @@ logger = logging.getLogger("surfelmeshing_tpu.eval")
 def evaluate_sequence(dataset_dir: str, trajectory: str, ground_truth: str,
                       max_frames: int = 0, tolerance: float = 0.01,
                       max_surfel_count: int = 2_000_000,
-                      outlier_filtering_frame_count: int = 2):
+                      outlier_filtering_frame_count: int = 2,
+                      pyramid_level: int = 0):
     from ..config import SurfelMeshingConfig
     from ..eval.mesh_accuracy import (evaluate_accuracy,
                                       load_obj_vertices_triangles,
@@ -37,7 +38,8 @@ def evaluate_sequence(dataset_dir: str, trajectory: str, ground_truth: str,
     video = read_tum_rgbd_dataset(dataset_dir, trajectory, 0.05)
     cfg = SurfelMeshingConfig(
         max_surfel_count=max_surfel_count,
-        outlier_filtering_frame_count=outlier_filtering_frame_count)
+        outlier_filtering_frame_count=outlier_filtering_frame_count,
+        pyramid_level=pyramid_level)
     pipe = ReconstructionPipeline(cfg, video.depth_camera)
 
     end = video.frame_count
@@ -74,11 +76,12 @@ def main(argv=None) -> int:
     p.add_argument("--tolerance", type=float, default=0.01)
     p.add_argument("--max_surfel_count", type=int, default=2_000_000)
     p.add_argument("--outlier_filtering_frame_count", type=int, default=2)
+    p.add_argument("--pyramid_level", type=int, default=0)
     args = p.parse_args(argv)
     result = evaluate_sequence(
         args.dataset_dir, args.trajectory, args.ground_truth,
         args.max_frames, args.tolerance, args.max_surfel_count,
-        args.outlier_filtering_frame_count)
+        args.outlier_filtering_frame_count, args.pyramid_level)
     print(json.dumps(result.as_dict()))
     return 0
 

@@ -111,6 +111,13 @@ class ReconstructionPipeline:
         self._confirmed_count = 0
         self._unconfirmed_frames = 0
         self._pending_counts = []   # FIFO of (async count handle, frames)
+        # Optional restriction of the bucket ladder to a precompiled subset
+        # (set_allowed_buckets): dispatch rounds UP to the nearest allowed
+        # bucket, so a time-boxed benchmark that only managed to compile the
+        # top bucket(s) still never compiles inside its timed region.
+        # Rounding up keeps the bound >= the true count, so results stay
+        # bit-exact — only the dead-row padding grows.
+        self._allowed_buckets = None
         # Lagged visible-set demand (state.active_tile_count of the last
         # confirmed tiled frame) for the auto active-set budget.
         self._lagged_active_tiles = 0
@@ -264,7 +271,11 @@ class ReconstructionPipeline:
         grids (cuda_surfel_reconstruction.cc:131-140)."""
         step = self.config.shape_bucket_step
         n_eff = -(-max(count_bound, 1) // step) * step
-        return int(min(max(n_eff, step), self.config.max_surfel_count))
+        n = int(min(max(n_eff, step), self.config.max_surfel_count))
+        if self._allowed_buckets:
+            cands = [b for b in self._allowed_buckets if b >= n]
+            n = min(cands) if cands else max(self._allowed_buckets)
+        return n
 
     def shape_bucket_ladder(self) -> list:
         """Every bucket the shape-bucket policy can pick from the current
@@ -453,6 +464,12 @@ class ReconstructionPipeline:
                                        packs, params=self.fusion_params,
                                        n_eff=int(n_eff))
         jax.block_until_ready(scratch)
+
+    def set_allowed_buckets(self, buckets) -> None:
+        """Restrict bucket dispatch to a precompiled subset (rounding UP to
+        the nearest member — see __init__ note).  None clears."""
+        self._allowed_buckets = sorted(int(b) for b in buckets) \
+            if buckets else None
 
     def drain(self) -> None:
         """Flush deferred frames, consume every outstanding count readback,

@@ -104,6 +104,12 @@ def main():
         use_shape_buckets=True,
         shape_bucket_step=STEP,
         max_creations_per_frame=CREATION_BUDGET,
+        # Adaptive count bound: charge unconfirmed frames 4x the confirmed
+        # per-frame growth instead of the full budget — tighter buckets once
+        # growth settles.  All reachable buckets are in the precompiled
+        # ladder (it starts at the fresh-state bound), so adaptive picks
+        # never compile inside the timed region.
+        adaptive_creation_bound=4.0,
         frame_chunk=CHUNK,
         restrict_fps_to=0,
     )

@@ -121,6 +121,20 @@ class SurfelMeshingConfig:
     # creations beyond it are dropped and re-attempted next frame, keeping
     # the creation scatter small and the count bound tight.
     max_creations_per_frame: int = 2**15
+    # Adaptive shape-bucket count bound (host-side dispatch policy, >0 = on):
+    # instead of charging every unconfirmed frame the full creation budget,
+    # charge it this safety factor times the largest recently CONFIRMED
+    # per-frame surfel growth (floor 2048, cap max_creations_per_frame).
+    # Tightens the bucket pick by ~1 ladder step once growth settles below
+    # the budget.  If a growth burst outruns the bound, the excess creations
+    # defer to the next frame (the same drop-and-retry semantics the static
+    # budget already has) and the estimator catches up exponentially; while
+    # a burst saturates a bucket, deferred creations tick
+    # state.overflow_count (indistinguishable on-device from capacity
+    # overflow), so combine with --abort_on_surfel_overflow with care.
+    # 0 = off (the bound is exact: creations can never defer below capacity
+    # and bucketed results stay bit-exact vs full shapes).
+    adaptive_creation_bound: float = 0.0
     # Maximum dispatches (frames or frame chunks) in flight before blocking
     # on the oldest count readback.  Bounds BOTH the host run-ahead and the
     # conservative count headroom (each unconfirmed frame adds one creation
@@ -329,6 +343,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="per-frame surfel creation budget; overflowing "
                         "creations retry next frame (TPU-specific; no "
                         "reference equivalent)")
+    p.add_argument("--adaptive_creation_bound", type=float,
+                   default=d.adaptive_creation_bound,
+                   help="shape-bucket count bound safety factor over the "
+                        "confirmed per-frame surfel growth; 0 = exact "
+                        "conservative bound (TPU-specific; no reference "
+                        "equivalent)")
     p.add_argument("--max_inflight_dispatches", type=int,
                    default=d.max_inflight_dispatches,
                    help="dispatches in flight before blocking on the oldest "
@@ -451,6 +471,7 @@ def config_from_args(argv=None) -> SurfelMeshingConfig:
         use_shape_buckets=args.use_shape_buckets,
         shape_bucket_step=args.shape_bucket_step,
         max_creations_per_frame=args.max_creations_per_frame,
+        adaptive_creation_bound=args.adaptive_creation_bound,
         max_inflight_dispatches=args.max_inflight_dispatches,
         abort_on_surfel_overflow=args.abort_on_surfel_overflow,
         delta_surfel_transfer=not args.no_delta_surfel_transfer,

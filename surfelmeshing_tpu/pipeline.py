@@ -111,6 +111,11 @@ class ReconstructionPipeline:
         self._confirmed_count = 0
         self._unconfirmed_frames = 0
         self._pending_counts = []   # FIFO of (async count handle, frames)
+        # Adaptive count bound (config.adaptive_creation_bound > 0): recent
+        # confirmed per-frame surfel growth samples; the bound charges each
+        # unconfirmed frame `factor * max(window)` instead of the full
+        # creation budget once samples exist.
+        self._growth_window = []
         # Optional restriction of the bucket ladder to a precompiled subset
         # (set_allowed_buckets): dispatch rounds UP to the nearest allowed
         # bucket, so a time-boxed benchmark that only managed to compile the
@@ -257,8 +262,18 @@ class ReconstructionPipeline:
 
     def _count_bound(self, frames: int = 0) -> int:
         """Conservative surfel-count upper bound after `frames` more frames:
-        last confirmed count + one creation budget per unconfirmed frame."""
+        last confirmed count + one per-frame creation charge per unconfirmed
+        frame.  The charge is the full creation budget (exact bound: the
+        kernel can never create more), or — with adaptive_creation_bound on
+        and growth samples confirmed — factor * the largest recent confirmed
+        per-frame growth, floored at 2048 (tight bound: a growth burst past
+        it defers creations to the next frame instead of overflowing, see
+        config.adaptive_creation_bound)."""
         budget = self.fusion_params.max_creations_per_frame
+        factor = self.config.adaptive_creation_bound
+        if factor > 0 and self._growth_window:
+            budget = min(budget, max(
+                2048, int(factor * max(self._growth_window))))
         return self._confirmed_count + \
             (self._unconfirmed_frames + frames) * budget
 
@@ -280,8 +295,12 @@ class ReconstructionPipeline:
     def shape_bucket_ladder(self) -> list:
         """Every bucket the shape-bucket policy can pick from the current
         count bound through capacity (ascending) — the complete precompile
-        set for a run starting now (the count bound never decreases, so no
-        smaller bucket is ever picked later)."""
+        set for a run starting now.  With the exact bound the count bound
+        never decreases, so no smaller bucket is ever picked later.  With
+        adaptive_creation_bound the bound can later tighten below this
+        ladder's lowest rung (slow-growth scenes); a benchmark guards that
+        with set_allowed_buckets (picks round UP, no compile), the app just
+        compiles the smaller bucket on first use."""
         lo = self.shape_bucket_for(
             self._count_bound(frames=self.config.frame_chunk))
         step = self.config.shape_bucket_step
@@ -298,7 +317,13 @@ class ReconstructionPipeline:
         while pend and (len(pend) > max_outstanding or pend[0][0].is_ready()):
             handle, frames = pend.pop(0)
             vals = np.asarray(jax.device_get(handle))
-            self._confirmed_count = int(vals[0])
+            new_count = int(vals[0])
+            if frames > 0:
+                self._growth_window.append(
+                    (new_count - self._confirmed_count + frames - 1)
+                    // frames)
+                del self._growth_window[:-4]
+            self._confirmed_count = new_count
             self._lagged_active_tiles = int(vals[1])
             self._unconfirmed_frames -= frames
 

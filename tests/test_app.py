@@ -130,6 +130,54 @@ def test_shape_buckets_path(dataset, tmp_path):
     assert pipe.surfel_count() == pipe2.surfel_count()
 
 
+def test_adaptive_creation_bound(dataset, tmp_path):
+    """--adaptive_creation_bound tightens the bucket bound from confirmed
+    growth (host-side dispatch policy only): the policy must engage (charge
+    below the full budget once growth samples exist) and the reconstruction
+    must match the conservative-bound run exactly when no deferral fires."""
+    from surfelmeshing_tpu.config import SurfelMeshingConfig
+    from surfelmeshing_tpu.io.tum import read_tum_rgbd_dataset
+    from surfelmeshing_tpu.pipeline import ReconstructionPipeline
+
+    def build(adaptive):
+        video = read_tum_rgbd_dataset(dataset, "groundtruth.txt", 0.2)
+        cfg = SurfelMeshingConfig(
+            max_surfel_count=60000, outlier_filtering_frame_count=2,
+            depth_erosion_radius=1, depth_valid_region_radius=1000.0,
+            use_shape_buckets=True, shape_bucket_step=4096, frame_chunk=2,
+            max_creations_per_frame=8192,
+            adaptive_creation_bound=adaptive)
+        return video, ReconstructionPipeline(cfg, video.depth_camera)
+
+    video, pipe = build(4.0)
+    for i in range(video.frame_count - 1):
+        pipe.process_frame(video, i)
+    pipe.block_until_ready()
+    # Growth samples were confirmed and the adaptive charge engaged.
+    assert pipe._growth_window
+    full = pipe.fusion_params.max_creations_per_frame
+    charge = pipe._count_bound(frames=1) - pipe._count_bound(frames=0)
+    assert charge < full
+    assert charge >= 2048   # the floor
+
+    video2, ref = build(0.0)
+    for i in range(video2.frame_count - 1):
+        ref.process_frame(video2, i)
+    ref.block_until_ready()
+    assert pipe.surfel_count() == ref.surfel_count()
+    assert int(pipe.state.overflow_count) == 0
+
+    # Pure bound arithmetic: factor * max(recent growth), floored/capped.
+    pipe._growth_window = [100, 300]
+    pipe._confirmed_count = 10_000
+    pipe._unconfirmed_frames = 2
+    assert pipe._count_bound(frames=1) == 10_000 + 3 * 2048   # floor
+    pipe._growth_window = [1000]
+    assert pipe._count_bound(frames=1) == 10_000 + 3 * 4000   # 4x growth
+    pipe._growth_window = [5000]
+    assert pipe._count_bound(frames=1) == 10_000 + 3 * full   # cap
+
+
 def test_staged_stage_timings(dataset, tmp_path):
     """--log_timings_staged fills the reference's per-stage columns with
     real measured device ms (VERDICT: no zero columns;

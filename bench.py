@@ -104,12 +104,17 @@ def main():
         use_shape_buckets=True,
         shape_bucket_step=STEP,
         max_creations_per_frame=CREATION_BUDGET,
-        # Adaptive count bound: charge unconfirmed frames 4x the confirmed
+        # Adaptive count bound: charge unconfirmed frames 2x the confirmed
         # per-frame growth instead of the full budget — tighter buckets once
-        # growth settles.  All reachable buckets are in the precompiled
-        # ladder (it starts at the fresh-state bound), so adaptive picks
-        # never compile inside the timed region.
-        adaptive_creation_bound=4.0,
+        # growth settles.  Factor 4.0 measured as a null result (run 3,
+        # PERF.md): with ~12 unconfirmed-frame charges in flight the bound
+        # stayed >= 458753 and clamped to the capacity bucket; 2.0 keeps
+        # one rung (~65k rows) of slack over the worst recent growth, and a
+        # burst past it just defers creations one frame (drop-and-retry).
+        # All reachable buckets are in the precompiled ladder (it starts at
+        # the fresh-state bound), so adaptive picks never compile inside
+        # the timed region.
+        adaptive_creation_bound=2.0,
         frame_chunk=CHUNK,
         restrict_fps_to=0,
     )
@@ -190,6 +195,9 @@ def main():
     overflow = int(pipe.state.overflow_count)
     print(f"bench: {len(timed)} timed frames, {1000 * elapsed / len(timed):.1f} "
           f"ms/frame, surfels={count}, overflow={overflow}", file=sys.stderr)
+    picks = pipe.bucket_pick_log[-(len(timed) // CHUNK):]
+    print(f"bench: timed bucket picks {[b for _, b in picks]}",
+          file=sys.stderr)
 
     if SMOKE and os.environ.get("SM_BENCH_CHECK") == "1":
         # Exactness audit: replay every frame through a per-frame,

@@ -1434,12 +1434,25 @@ def _integrate_body(
     base_on = active & in_image & (pack[:, RAD] >= 0)
 
     def integrate_at(pack, neighbors, nbr_dist, meas, counts_f, rgb, conf_i,
-                     p_mnx, p_mny, p_mnz, p_rad, first, pxf, pyf, on):
+                     p_mnx, p_mny, p_mnz, p_rad, first, p_premeas, pxf, pyf,
+                     on):
         on = on & (meas > 0)
         conflict_zone = first < (1.0 - noise) * meas
         conflicting = on & conflict_zone & (first == z)
         if params.exact_conflict_arbitration:
             conflicting = conflicting & (conf_i == idx)
+        else:
+            # Marker eligibility: the reference's conflictor map is written
+            # by the ASSOCIATION pass from the pre-blend depth
+            # (kernels.cu:1610-1618 runs before blending, :563-738), so a
+            # surfel may only decrement where the PRE-blend conflict zone
+            # also held.  Without this gate, pixels that blending pushes
+            # across the zone boundary spuriously reinit their min-z surfel
+            # (measured: up to 36% rel deviation on corner/lookaway at
+            # 320x240x60f; elementwise, zero extra gathers).  Remaining
+            # deviation vs the exact map: the min-index tie-break when two
+            # surfels project with bitwise-equal min depth.
+            conflicting = conflicting & (first < (1.0 - noise) * p_premeas)
         on = on & ~conflict_zone
         on = on & ~(z > (1.0 + noise) * meas)
 
@@ -1540,11 +1553,11 @@ def _integrate_body(
 
     pack, neighbors, nbr_dist = integrate_at(
         pack, neighbors, nbr_dist, meas_a, counts_a, rgb_a, conf_a,
-        pre_mnx_a, pre_mny_a, pre_mnz_a, pre_rad_a, pre_first_a,
+        pre_mnx_a, pre_mny_a, pre_mnz_a, pre_rad_a, pre_first_a, pre_meas_a,
         px.astype(jnp.float32), py.astype(jnp.float32), base_on)
     pack, neighbors, nbr_dist = integrate_at(
         pack, neighbors, nbr_dist, meas_b, counts_b, rgb_b, conf_b,
-        pre_mnx_b, pre_mny_b, pre_mnz_b, pre_rad_b, pre_first_b,
+        pre_mnx_b, pre_mny_b, pre_mnz_b, pre_rad_b, pre_first_b, pre_meas_b,
         sx.astype(jnp.float32), sy.astype(jnp.float32),
         base_on & side_ok)
     _tap("pack_after_integrate", pack)
@@ -1573,7 +1586,8 @@ def _integrate_body(
             params, depth, supporting_surfels, conflict_free,
             img_geo, img_app, img_sup, depth_post_flat, pack, neighbors,
             nbr_dist, state.surfel_count, state.overflow_count, frame_index,
-            gpack, dest_translate)
+            gpack, dest_translate,
+            contiguous_dest=(shard is None and tiling is None))
     _tap("pack_after_create", pack)
     _tap("neighbors_after_create", neighbors)
     _tap("surfel_count_after_create", surfel_count)
@@ -1866,7 +1880,8 @@ def _create_new_surfels(params, depth, supporting_surfels,
                         conflict_free, img_geo, img_app, img_sup,
                         depth_m_flat,
                         pack, neighbors, nbr_dist, surfel_count,
-                        overflow_count, frame_index, gpack, dest_translate):
+                        overflow_count, frame_index, gpack, dest_translate,
+                        contiguous_dest=False):
     """Append a surfel for every unexplained valid depth pixel
     (kernels.cu:90-271); index compaction via cumsum replaces CUB's
     DeviceScan::ExclusiveSum (kernels.cc:94-113).
@@ -1898,11 +1913,16 @@ def _create_new_surfels(params, depth, supporting_surfels,
     fits = flags_flat & (surfel_count + prefix < n) & (prefix < c_budget)
 
     # Compact the flagged pixels into the creation budget: src_pix[j] is the
-    # pixel of the j-th created surfel.  The compaction scatter is unique by
-    # construction of the prefix sum.
-    src_scatter = jnp.where(fits, prefix, INVALID_INDEX)
-    src_pix = jnp.zeros((c_budget,), jnp.int32).at[src_scatter].set(
-        lin, mode="drop", unique_indices=True)
+    # pixel of the j-th created surfel.  A stable sort on the fit flag
+    # replaces the HW->C compaction scatter: flagged pixels land first, in
+    # pixel order == prefix order (vector-rate sort ~0.5 ms vs ~2 ms
+    # scalar-loop scatter-SET at 307k indices; PERF.md).  Slots past the
+    # flagged count hold arbitrary non-fit pixels; their rows are dropped
+    # by the destination masking below (the scatter path left src_pix == 0
+    # there — same droppage, identical final state).
+    _, order = jax.lax.sort((jnp.where(fits, 0, 1), lin), num_keys=1,
+                            is_stable=True)
+    src_pix = order[:c_budget]
 
     # ---- Everything below runs in the C domain. ----
     geo_c = img_geo[src_pix]                                # (C, 8)
@@ -1989,14 +2009,45 @@ def _create_new_surfels(params, depth, supporting_surfels,
     created = jnp.minimum(jnp.minimum(total, c_budget),
                           jnp.maximum(n - surfel_count, 0))
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (c_budget, 1), 0)[:, 0]
-    dest_c = jnp.where(slot_iota < created, surfel_count + slot_iota,
-                       INVALID_INDEX)
-    dest_w = dest_translate(dest_c)     # frontier tiles are always resident
-    pack = pack.at[dest_w].set(rows_c, mode="drop", unique_indices=True)
-    neighbors = neighbors.at[:, dest_w].set(nbrs_c, mode="drop",
-                                            unique_indices=True)
-    nbr_dist = nbr_dist.at[:, dest_w].set(dists_c, mode="drop",
-                                          unique_indices=True)
+    if contiguous_dest and c_budget <= pack.shape[0]:
+        # Full-shape mode: destinations are contiguous
+        # [surfel_count, surfel_count + created) by construction, so the
+        # three destination scatters collapse to dynamic slices (read,
+        # select, write back) — contiguous copies instead of scalar-loop
+        # scatter-SET (PERF.md scatter notes).  `start` clamps the window
+        # into bounds near capacity; `off` re-aligns slots so row j still
+        # lands at absolute index surfel_count + j (created never exceeds
+        # n - surfel_count, keeping every taken row inside the window).
+        start = jnp.clip(surfel_count, 0, pack.shape[0] - c_budget)
+        off = surfel_count - start
+        idx_c = slot_iota - off
+        take = (idx_c >= 0) & (idx_c < created)
+        safe_c = jnp.clip(idx_c, 0, c_budget - 1)
+        zero = jnp.int32(0)
+        cur = jax.lax.dynamic_slice(pack, (start, zero),
+                                    (c_budget, PACK_WIDTH))
+        pack = jax.lax.dynamic_update_slice(
+            pack, jnp.where(take[:, None], rows_c[safe_c], cur),
+            (start, zero))
+        cur_n = jax.lax.dynamic_slice(neighbors, (zero, start),
+                                      (4, c_budget))
+        neighbors = jax.lax.dynamic_update_slice(
+            neighbors, jnp.where(take[None, :], nbrs_c[:, safe_c], cur_n),
+            (zero, start))
+        cur_d = jax.lax.dynamic_slice(nbr_dist, (zero, start),
+                                      (4, c_budget))
+        nbr_dist = jax.lax.dynamic_update_slice(
+            nbr_dist, jnp.where(take[None, :], dists_c[:, safe_c], cur_d),
+            (zero, start))
+    else:
+        dest_c = jnp.where(slot_iota < created, surfel_count + slot_iota,
+                           INVALID_INDEX)
+        dest_w = dest_translate(dest_c)  # frontier tiles always resident
+        pack = pack.at[dest_w].set(rows_c, mode="drop", unique_indices=True)
+        neighbors = neighbors.at[:, dest_w].set(nbrs_c, mode="drop",
+                                                unique_indices=True)
+        nbr_dist = nbr_dist.at[:, dest_w].set(dists_c, mode="drop",
+                                              unique_indices=True)
 
     # Overflow counts only capacity-dropped creations; budget-deferred ones
     # retry next frame and are not overflow.

@@ -116,6 +116,9 @@ class ReconstructionPipeline:
         # unconfirmed frame `factor * max(window)` instead of the full
         # creation budget once samples exist.
         self._growth_window = []
+        # (frames, n_eff) per chunked dispatch — host-side diagnostics for
+        # benchmarks (which ladder rungs actually ran).
+        self.bucket_pick_log = []
         # Optional restriction of the bucket ladder to a precompiled subset
         # (set_allowed_buckets): dispatch rounds UP to the nearest allowed
         # bucket, so a time-boxed benchmark that only managed to compile the
@@ -430,6 +433,7 @@ class ReconstructionPipeline:
             entries, pending = pending[:size], pending[size:]
             depths, others, colors, packs = self._stack_entries(entries)
             params, n_eff = self._pick_params_and_bucket(frames=size)
+            self.bucket_pick_log.append((size, n_eff))
             self._state = self._chunk_step(self._state, depths, others,
                                            colors, packs, params=params,
                                            n_eff=n_eff)

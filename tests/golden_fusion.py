@@ -190,6 +190,7 @@ class Oracle:
         rad = self.col(F.RAD)
 
         # --- Phase 4: measurement blending (kernels.cu:563-738) ------------
+        depth_m_pre = depth_m
         if p.do_blending:
             depth = self._blend(depth, supporting.reshape(h, w),
                                 counts.reshape(h, w), sums.reshape(h, w), p)
@@ -225,7 +226,11 @@ class Oracle:
             on = on0 & (meas > 0)
             f = first[pix]
             conflict_zone = f < (one - noise) * meas
-            conflicting = on & conflict_zone & (f == z)
+            # Marker eligibility: only where the PRE-blend zone also held
+            # (the reference conflictor map is written pre-blend,
+            # kernels.cu:1610-1618; mirrors ops/fusion.integrate_at).
+            conflicting = on & conflict_zone & (f == z) & \
+                (f < (one - noise) * depth_m_pre[pix])
             on = on & ~conflict_zone & ~(z > (one + noise) * meas)
 
             conf = self.col(F.CONF).copy()

@@ -22,9 +22,11 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..io.synthetic import SCENES, TRAJECTORIES, SyntheticRGBDSequence
-from ..ops import preprocess as pp
-from ..ops.fusion import (FusionParams, create_surfel_state, integrate_frame,
-                          meshing_snapshot)
+
+# NOTE: ops.fusion / ops.preprocess are imported lazily inside the functions
+# below — importing them initializes the JAX backend (module-level jnp
+# constants), which would pin the platform before main()'s --cpu flag can
+# choose it (the site hook ignores JAX_PLATFORMS env; see CLAUDE.md).
 
 # The A/B contrast set: TPU-native defaults vs each reference-exact switch
 # alone vs everything exact.
@@ -55,6 +57,9 @@ def run_fusion_sequence(
     Pass `seq` to reuse one rendered sequence across modes (the renders
     are host-side and dominate wall time at operating scale)."""
     import jax.numpy as jnp
+
+    from ..ops import preprocess as pp
+    from ..ops.fusion import integrate_frame, create_surfel_state
 
     if seq is None:
         seq = SyntheticRGBDSequence(num_frames=frames + 2, width=width,
@@ -108,6 +113,8 @@ def run_fusion_sequence(
 def scene_error_mm(state, seq: SyntheticRGBDSequence) -> float:
     """Mean exact distance (mm) of live smoothed surfels to the true scene
     surface — the accuracy numerator for the A/B (no mesh file needed)."""
+    from ..ops.fusion import meshing_snapshot
+
     count = int(state.surfel_count)
     smooth, radius_sq, _, _, _ = meshing_snapshot(state)
     # pow2 pad so the device slice compiles once per bucket, not per count.
@@ -130,6 +137,11 @@ def deviation_matrix(
     modes=None,
 ) -> Dict[str, Dict[str, float]]:
     """-> {"scene/trajectory": {mode: error_mm}} for every combination."""
+    import sys
+    import time
+
+    from ..ops.fusion import FusionParams
+
     if base_params is None:
         base_params = FusionParams(
             width=width, height=height, fx=1.0, fy=1.0, cx=0.0, cy=0.0,
@@ -143,6 +155,7 @@ def deviation_matrix(
                 num_frames=frames + 2, width=width, height=height,
                 scene=scene, trajectory=traj, noise_sigma=noise_sigma)
             for mode, kw in (modes or MODES):
+                t0 = time.perf_counter()
                 params = dataclasses.replace(base_params, **kw)
                 state, seq = run_fusion_sequence(
                     params, capacity, frames=frames, width=width,
@@ -154,6 +167,11 @@ def deviation_matrix(
                         f"({int(state.overflow_count)}) — raise --capacity; "
                         "a clamped run would bias the deviation bound")
                 row[mode] = scene_error_mm(state, seq)
+                print(f"ab_matrix: {scene}/{traj}/{mode} = "
+                      f"{row[mode]:.4f} mm  surfels="
+                      f"{int(state.surfel_count)}  "
+                      f"({time.perf_counter() - t0:.0f}s)",
+                      file=sys.stderr, flush=True)
             out[f"{scene}/{traj}"] = row
     return out
 
@@ -184,14 +202,22 @@ def main(argv=None):
     ap.add_argument("--noise_sigma", type=float, default=0.0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (default: session platform)")
+    ap.add_argument("--scenes", type=str, default=None,
+                    help="comma-separated scene subset (default: all)")
+    ap.add_argument("--trajectories", type=str, default=None,
+                    help="comma-separated trajectory subset (default: all)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    matrix = deviation_matrix(frames=args.frames, width=args.width,
-                              height=args.height, capacity=args.capacity,
-                              noise_sigma=args.noise_sigma)
+    matrix = deviation_matrix(
+        frames=args.frames, width=args.width,
+        height=args.height, capacity=args.capacity,
+        noise_sigma=args.noise_sigma,
+        scenes=args.scenes.split(",") if args.scenes else None,
+        trajectories=(args.trajectories.split(",")
+                      if args.trajectories else None))
     print(format_markdown(matrix))
 
 

@@ -105,15 +105,16 @@ def main():
         shape_bucket_step=STEP,
         max_creations_per_frame=CREATION_BUDGET,
         # Adaptive count bound: charge unconfirmed frames 2x the confirmed
-        # per-frame growth instead of the full budget — tighter buckets once
-        # growth settles.  Factor 4.0 measured as a null result (run 3,
-        # PERF.md): with ~12 unconfirmed-frame charges in flight the bound
-        # stayed >= 458753 and clamped to the capacity bucket; 2.0 keeps
-        # one rung (~65k rows) of slack over the worst recent growth, and a
-        # burst past it just defers creations one frame (drop-and-retry).
-        # All reachable buckets are in the precompiled ladder (it starts at
-        # the fresh-state bound), so adaptive picks never compile inside
-        # the timed region.
+        # per-frame growth (max of the last TWO chunk samples — see
+        # pipeline._count_bound) instead of the full budget — tighter
+        # buckets once growth settles.  Factor 4.0 and max-of-4-samples
+        # both measured as null results (runs 3-4, PERF.md): with ~12
+        # unconfirmed-frame charges in flight the bound stayed >= 458753
+        # and clamped to the capacity bucket.  A burst past the bound just
+        # defers creations one frame (drop-and-retry).  All reachable
+        # buckets are in the precompiled ladder (it starts at the
+        # fresh-state bound), so adaptive picks never compile inside the
+        # timed region.
         adaptive_creation_bound=2.0,
         frame_chunk=CHUNK,
         restrict_fps_to=0,

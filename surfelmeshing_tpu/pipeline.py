@@ -268,15 +268,20 @@ class ReconstructionPipeline:
         last confirmed count + one per-frame creation charge per unconfirmed
         frame.  The charge is the full creation budget (exact bound: the
         kernel can never create more), or — with adaptive_creation_bound on
-        and growth samples confirmed — factor * the largest recent confirmed
-        per-frame growth, floored at 2048 (tight bound: a growth burst past
-        it defers creations to the next frame instead of overflowing, see
-        config.adaptive_creation_bound)."""
+        and growth samples confirmed — factor * the largest of the TWO most
+        recent confirmed per-frame growths, floored at 2048 (tight bound: a
+        growth burst past it defers creations to the next frame instead of
+        overflowing, see config.adaptive_creation_bound).  Two samples, not
+        the whole window: map growth declines monotonically as a scene gets
+        covered, so older samples only loosen the bound — max-of-4 kept the
+        640x480 bench clamped at the capacity bucket for 5 of 6 timed
+        chunks (r5 trace) while max-of-2 tracks the decline one chunk
+        behind; the factor still covers single-chunk bursts."""
         budget = self.fusion_params.max_creations_per_frame
         factor = self.config.adaptive_creation_bound
         if factor > 0 and self._growth_window:
             budget = min(budget, max(
-                2048, int(factor * max(self._growth_window))))
+                2048, int(factor * max(self._growth_window[-2:]))))
         return self._confirmed_count + \
             (self._unconfirmed_frames + frames) * budget
 

@@ -176,6 +176,11 @@ def test_adaptive_creation_bound(dataset, tmp_path):
     assert pipe._count_bound(frames=1) == 10_000 + 3 * 4000   # 4x growth
     pipe._growth_window = [5000]
     assert pipe._count_bound(frames=1) == 10_000 + 3 * full   # cap
+    # Only the TWO most recent samples count: an old fast-growth sample
+    # must not keep the bound pinned once growth settles (r5: max-of-4
+    # clamped the 640x480 bench at the capacity bucket).
+    pipe._growth_window = [9000, 1000, 700]
+    assert pipe._count_bound(frames=1) == 10_000 + 3 * 4000
 
 
 def test_staged_stage_timings(dataset, tmp_path):

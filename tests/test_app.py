@@ -1,4 +1,12 @@
-"""App-level tests: run() with reference flag combinations in-process."""
+"""App-level tests: run() with reference flag combinations in-process.
+
+Marked `slow` module-wide: every test drives the full app loop and
+compiles its own graph variants on CPU (~70 s/test measured on the
+single-core bench host, ~19 min for the module).  The quick CI pass
+(`pytest tests/ -q -m "not slow"`) keeps app-path coverage through
+tests/test_full_system.py, test_pipeline.py and test_checkpoint.py;
+this module runs in the full (nightly / pre-release) suite.
+"""
 
 import os
 
@@ -8,6 +16,8 @@ import pytest
 from surfelmeshing_tpu.app.main import run
 from surfelmeshing_tpu.config import config_from_args
 from surfelmeshing_tpu.io.synthetic import write_tum_dataset
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import Mesh
 
 from surfelmeshing_tpu.ops.fusion import FusionParams
@@ -59,8 +60,14 @@ def test_batched_step_runs_on_mesh():
     assert np.all(counts2 <= counts * 1.1)
 
 
+@pytest.mark.slow
 def test_multi_sequence_app(tmp_path):
-    """Batched multi-sequence runner end-to-end on the CPU mesh."""
+    """Batched multi-sequence runner end-to-end on the CPU mesh.
+
+    Slow: compiles the full batched app loop over 8 virtual devices
+    (multi-minute on the single-core host); the quick pass keeps mesh
+    coverage via test_batched_step_runs_on_mesh and the sharded-map
+    bit-exactness test below."""
     from surfelmeshing_tpu.app.multi_sequence import run_batched
     from surfelmeshing_tpu.io.mesh_io import read_ply
     from surfelmeshing_tpu.io.synthetic import write_tum_dataset
